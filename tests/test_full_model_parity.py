@@ -105,6 +105,7 @@ def test_full_multihead_forward_parity():
     theirs_flat = ref[0].reshape(2, 21, -1)
     idx = theirs_flat.argmax(-1)
     theirs_pred = np.stack([idx % 16, idx // 16], axis=-1)
+    theirs_pred = theirs_pred * (theirs_flat.max(-1, keepdims=True) > 0)
     top2 = np.sort(theirs_flat, axis=-1)[..., -2:]
     prominent = (top2[..., 1] - top2[..., 0]) > 1e-4  # (B, K)
     np.testing.assert_array_equal(
