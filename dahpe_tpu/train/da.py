@@ -1,0 +1,220 @@
+"""The 3-step adversarial domain-adaptation iteration as ONE jitted function.
+
+Reference hot loop: ``train1.py:355-458`` — per iteration:
+
+  Step A (source):  all five optimizers minimize
+                    2·KL(y_s, label) + 4·rd32(min) + 4·rd64(min) + 4·rd16(min)
+  Step B (target):  the three adversarial heads maximize disparity against
+                    ground-false masks fused with the coarser heads' detached,
+                    bilinearly-upsampled heatmaps (``train1.py:408-436``)
+  Step C (target):  backbone+upsampling minimize 0.3·rd32(min) + 1·rd64(min),
+                    reaching the features only through the λ-scaled GL layer
+
+Torch runs 3 forwards + 3 backwards with per-optimizer ``zero_grad``/``step``
+bookkeeping and a device→host→device round trip inside every disparity loss.
+Here the whole iteration is a single XLA program: three forwards, three
+``jax.grad`` calls over the right param partitions, on-device pseudo-labels,
+and partition-masked SGD updates. Under a data mesh the same function runs
+SPMD (batch sharded, params replicated; XLA inserts the psum for grads).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from dahpe_tpu.core.decode import upsample_bilinear
+from dahpe_tpu.core.losses import joints_kl_loss
+from dahpe_tpu.core.metrics import pck_accuracy
+from dahpe_tpu.ops.gradient_scale import warm_start_coeff
+from dahpe_tpu.train import disparity
+from dahpe_tpu.train.ema import ema_update
+from dahpe_tpu.train.optim import (
+    DA_PARTITIONS,
+    apply_partition_updates,
+    da_lr,
+    init_partitioned,
+    split_params,
+    torch_sgd,
+)
+
+
+class DATrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt: Any  # dict: partition name -> optax state
+    ema_params: Any = None
+    ema_batch_stats: Any = None
+
+
+def create_da_state(
+    model,
+    rng,
+    *,
+    image_size: int = 256,
+    batch_size: int = 2,
+    with_ema: bool = False,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+) -> DATrainState:
+    x = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
+    variables = model.init(rng, x, train=False, gl_coeff=0.0)
+    params = dict(variables["params"])
+    batch_stats = dict(variables["batch_stats"])
+    tx = torch_sgd(momentum=momentum, weight_decay=weight_decay)
+    opt = init_partitioned(tx, params, DA_PARTITIONS)
+    return DATrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt=opt,
+        ema_params=jax.tree.map(jnp.copy, params) if with_ema else None,
+        ema_batch_stats=jax.tree.map(jnp.copy, batch_stats) if with_ema else None,
+    )
+
+
+def make_da_train_step(
+    model,
+    *,
+    base_lr: float = 0.01,
+    lr_gamma: float = 1e-4,
+    lr_decay: float = 0.75,
+    trade_off: float = 1.0,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    ema_decay: float | None = None,
+    gl_hi: float = 0.1,
+    gl_max_iters: int = 1000,
+    compute_metrics: bool = True,
+) -> Callable:
+    """Build the jittable DA step: ``(state, batch_s, batch_t) -> (state, metrics)``.
+
+    Batches are dicts with ``image (B,H,W,3)``, ``target (B,64,64,K)``,
+    ``weight (B,K)``.
+    """
+    tx = torch_sgd(momentum=momentum, weight_decay=weight_decay)
+
+    def forward(params, batch_stats, x, gl_coeff):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            gl_coeff=gl_coeff,
+            mutable=["batch_stats"],
+        )
+        return out, dict(updates["batch_stats"])
+
+    def train_step(state: DATrainState, batch_s: dict, batch_t: dict):
+        lam = warm_start_coeff(state.step, hi=gl_hi, max_iters=gl_max_iters)
+        lr = da_lr(state.step, base_lr=base_lr, gamma=lr_gamma, decay=lr_decay)
+        x_s, label_s, w_s = batch_s["image"], batch_s["target"], batch_s["weight"]
+        x_t, label_t, w_t = batch_t["image"], batch_t["target"], batch_t["weight"]
+
+        # ---- Step A: source supervision + min-disparity, all partitions ----
+        def loss_a(params, batch_stats):
+            out, bs = forward(params, batch_stats, x_s, lam)
+            y = out["y"]
+            loss = (
+                2.0 * joints_kl_loss(y, label_s, w_s)
+                + 4.0 * disparity.rd_32(y, out["y_adv2"], None, w_s, "min")
+                + 4.0 * disparity.rd_64(y, out["y_adv"], None, w_s, "min")
+                + 4.0 * disparity.rd_16(y, out["y_adv3"], w_s, "min")
+            )
+            return loss, (bs, out)
+
+        (loss_s, (bs, out_s)), grads = jax.value_and_grad(loss_a, has_aux=True)(
+            dict(state.params), dict(state.batch_stats)
+        )
+        params, opt = apply_partition_updates(
+            tx, dict(state.params), dict(state.opt), grads, lr,
+            ("f", "h", "h_adv", "h_adv2", "h_adv3"), DA_PARTITIONS,
+        )
+
+        # ---- Step B: adversarial heads maximize fused ground-false ----
+        adv_keys = ("head_adv", "head_adv2", "head_adv3")
+
+        def loss_b(adv_params, frozen, batch_stats):
+            out, bs = forward({**adv_params, **frozen}, batch_stats, x_t, lam)
+            y = out["y"]
+            a3 = jax.lax.stop_gradient(out["y_adv3"])
+            a2 = jax.lax.stop_gradient(out["y_adv2"])
+            hm_full = y.shape[1:3]  # 64x64 at the reference config
+            hm_half = out["y_adv2"].shape[1:3]
+            t64 = 0.5 * upsample_bilinear(a3, hm_full) + upsample_bilinear(
+                a2, hm_full
+            )
+            t32 = upsample_bilinear(a3, hm_half)
+            l1 = disparity.rd_16(y, out["y_adv3"], w_t, "max")
+            l2 = disparity.rd_64(y, out["y_adv"], t64, w_t, "max")
+            l3 = disparity.rd_32(y, out["y_adv2"], t32, w_t, "max")
+            return trade_off * (0.3 * l1 + 1.0 * l2 + 0.3 * l3), bs
+
+        adv_params, frozen = split_params(params, adv_keys)
+        (loss_gf, bs), grads_b = jax.value_and_grad(loss_b, has_aux=True)(
+            adv_params, frozen, bs
+        )
+        params, opt = apply_partition_updates(
+            tx, params, opt, grads_b, lr, ("h_adv", "h_adv2", "h_adv3"),
+            DA_PARTITIONS,
+        )
+
+        # ---- Step C: feature extractor minimizes disparity (λ-scaled) ----
+        f_keys = ("backbone", "upsampling")
+
+        def loss_c(f_params, frozen, batch_stats):
+            out, bs = forward({**f_params, **frozen}, batch_stats, x_t, lam)
+            y = out["y"]
+            l1 = disparity.rd_32(y, out["y_adv2"], None, w_t, "min")
+            l2 = disparity.rd_64(y, out["y_adv"], None, w_t, "min")
+            return trade_off * (0.3 * l1 + 1.0 * l2), (bs, out)
+
+        f_params, frozen = split_params(params, f_keys)
+        (loss_gt, (bs, out_t)), grads_c = jax.value_and_grad(loss_c, has_aux=True)(
+            f_params, frozen, bs
+        )
+        params, opt = apply_partition_updates(
+            tx, params, opt, grads_c, lr, ("f",), DA_PARTITIONS
+        )
+
+        ema_params, ema_bs = state.ema_params, state.ema_batch_stats
+        if ema_decay is not None and ema_params is not None:
+            ema_params = ema_update(ema_params, params, ema_decay)
+            ema_bs = ema_update(ema_bs, bs, ema_decay)
+
+        metrics = {
+            "loss_s": loss_s,
+            "loss_gf": loss_gf,
+            "loss_gt": loss_gt,
+            "lr": lr,
+            "gl_coeff": lam,
+        }
+        if compute_metrics:
+            _, acc_s, _, _ = pck_accuracy(out_s["y"], label_s)
+            _, acc_t, _, _ = pck_accuracy(out_t["y"], label_t)
+            _, acc_s_adv, _, _ = pck_accuracy(out_s["y_adv"], label_s)
+            _, acc_t_adv, _, _ = pck_accuracy(out_t["y_adv"], label_t)
+            metrics.update(
+                acc_s=acc_s, acc_t=acc_t, acc_s_adv=acc_s_adv, acc_t_adv=acc_t_adv
+            )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=bs,
+            opt=opt,
+            ema_params=ema_params,
+            ema_batch_stats=ema_bs,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def da_train_step(model, state, batch_s, batch_t, **config):
+    """Convenience non-factory entry point (builds + calls the step)."""
+    return make_da_train_step(model, **config)(state, batch_s, batch_t)

@@ -1,0 +1,84 @@
+"""Regression-disparity losses of the multiscale adversarial cascade.
+
+Pure-functional equivalents of the reference's ``RegressionDisparityx6`` (64),
+``x5`` (32) and ``x1`` (16) modules (``regda_7.py:3564-3632, 3485-3561,
+3206-3268``). The reference argmax-decodes on the CPU and gathers from host
+Gaussian tables *inside the loss*; here pseudo-label construction is a
+closed-form on-device expression under ``stop_gradient`` (the reference's
+``y.detach()``), so the whole minimax step stays on the TPU and inside one
+XLA program.
+
+``mode`` is a Python-level static: 'min' trains toward the pseudo ground
+truth, 'max' toward the ground-false mask.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dahpe_tpu.core.heatmap import (
+    fuse_and_normalize_gf,
+    gf_inverse,
+    gf_union_minus,
+    pseudo_label_gt,
+)
+from dahpe_tpu.core.losses import joints_kl_loss
+
+EPS = 1e-7  # the reference uses JointsKLLoss(epsilon=1e-7) for all three
+
+
+def rd_64(
+    y: jnp.ndarray,
+    y_adv: jnp.ndarray,
+    fused_target: jnp.ndarray | None,
+    weight: jnp.ndarray | None,
+    mode: str,
+) -> jnp.ndarray:
+    """64x64 disparity (``RegressionDisparityx6``, ``regda_7.py:3609-3632``).
+
+    GF = clip(clip(sum_k GT) - 10 GT) [+ fused target, -100 GT], then
+    per-(sample, joint) max-normalized.
+    """
+    gt = pseudo_label_gt(jax.lax.stop_gradient(y), scale=1, window_factor=3.0)
+    if mode == "min":
+        return joints_kl_loss(y_adv, gt, weight, epsilon=EPS)
+    gf = fuse_and_normalize_gf(gf_union_minus(gt), gt, fused_target)
+    return joints_kl_loss(y_adv, gf, weight, epsilon=EPS)
+
+
+def rd_32(
+    y: jnp.ndarray,
+    y_adv2: jnp.ndarray,
+    fused_target: jnp.ndarray | None,
+    weight: jnp.ndarray | None,
+    mode: str,
+) -> jnp.ndarray:
+    """32x32 disparity (``RegressionDisparityx5``, ``regda_7.py:3530-3561``).
+
+    Peaks come from the 64x64 main heatmap, halved; GF = clip(1 - 10 GT)
+    [+ fused target, -100 GT], max-normalized.
+    """
+    gt = pseudo_label_gt(jax.lax.stop_gradient(y), scale=2, window_factor=2.0)
+    if mode == "min":
+        return joints_kl_loss(y_adv2, gt, weight, epsilon=EPS)
+    gf = fuse_and_normalize_gf(gf_inverse(gt), gt, fused_target)
+    return joints_kl_loss(y_adv2, gf, weight, epsilon=EPS)
+
+
+def rd_16(
+    y: jnp.ndarray,
+    y_adv3: jnp.ndarray,
+    weight: jnp.ndarray | None,
+    mode: str,
+) -> jnp.ndarray:
+    """16x16 disparity (``RegressionDisparityx1``, ``regda_7.py:3251-3268``).
+
+    Peaks from the 64x64 main heatmap, quartered; GF = clip(1 - 10 GT), no
+    fusion and no max-normalization at this scale.
+    """
+    gt = pseudo_label_gt(jax.lax.stop_gradient(y), scale=4, window_factor=1.5)
+    if mode == "min":
+        return joints_kl_loss(y_adv3, gt, weight, epsilon=EPS)
+    gf = jnp.clip(1.0 - gt * 10.0, 0.0, 1.0)
+    return joints_kl_loss(y_adv3, gf, weight, epsilon=EPS)
