@@ -1,0 +1,88 @@
+"""Benchmark: images/sec/chip for 256x256 pose inference (the north-star
+metric from BASELINE.json) on the flagship ResNet-101 multiscale model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md); REF_GPU_IMG_S
+below is a documented estimate for Simple-Baseline ResNet-101 inference at
+256x256 on the single research GPU the reference targets (~120 img/s fp32).
+BASELINE.json's bar is >=5x that per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_GPU_IMG_S = 120.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dahpe_tpu import models
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    backbone = models.get_backbone("resnet101", dtype=jnp.bfloat16)
+    model = models.MultiHeadPoseResNet(
+        backbone=backbone, num_keypoints=21, dtype=jnp.bfloat16
+    )
+
+    x0 = jnp.zeros((batch, 256, 256, 3), jnp.bfloat16)
+    print(f"init resnet101 (batch {batch}) on {jax.devices()[0]}", file=sys.stderr)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), x0, train=False))()
+
+    # The TPU is reached through a high-latency tunnel in this environment, so
+    # host-side dispatch timing is meaningless. The loop runs ON DEVICE
+    # (fori_loop, serialized by a data dependency) and we difference two loop
+    # lengths to cancel the round-trip + dispatch constant.
+    @jax.jit
+    def infer_n(variables, x, n):
+        def body(_, carry):
+            x, acc = carry
+            y = model.apply(variables, x, train=False, gl_coeff=0.0)["y"]
+            # feed a scalar of y back into x so iterations can't be hoisted
+            x = x * (1.0 + 1e-6 * y[0, 0, 0, 0]).astype(x.dtype)
+            return (x, acc + jnp.float32(y[0, 0, 0, 0]))
+
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
+        return acc
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 256, 256, 3)), jnp.bfloat16)
+
+    def timed(n):
+        # block_until_ready is not reliable through the tunnel; a host
+        # transfer of the data-dependent scalar is.
+        t0 = time.perf_counter()
+        float(infer_n(variables, x, n))
+        return time.perf_counter() - t0
+
+    timed(1)  # compile
+    n_lo, n_hi = 2, 22
+    t_lo = min(timed(n_lo) for _ in range(3))
+    t_hi = min(timed(n_hi) for _ in range(3))
+    dt = t_hi - t_lo
+    iters = n_hi - n_lo
+    print(f"t({n_hi})={t_hi:.3f}s t({n_lo})={t_lo:.3f}s", file=sys.stderr)
+
+    img_s = batch * iters / dt
+    print(f"{iters} iters in {dt:.3f}s -> {img_s:.1f} img/s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "pose_inference_images_per_sec_per_chip_256px",
+                "value": round(img_s, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(img_s / REF_GPU_IMG_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Multi-device tests on the 8-way virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dahpe_tpu import models
+from dahpe_tpu.models.resnet import Bottleneck
+from dahpe_tpu.parallel import (
+    create_mesh,
+    make_parallel_da_step,
+    make_parallel_eval_step,
+    replicate,
+    shard_batch,
+)
+from dahpe_tpu.train import create_da_state, make_da_train_step
+
+
+def tiny_model(k=4):
+    backbone = models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1])
+    return models.MultiHeadPoseResNet(backbone=backbone, num_keypoints=k)
+
+
+def make_batch(rng, b, k=4, img=64):
+    hm = img // 4
+    return {
+        "image": jnp.asarray(rng.standard_normal((b, img, img, 3)), jnp.float32),
+        "target": jnp.asarray(
+            np.clip(rng.standard_normal((b, hm, hm, k)), 0, None), jnp.float32
+        ),
+        "weight": jnp.ones((b, k), jnp.float32),
+    }
+
+
+def test_mesh_has_8_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_parallel_da_step_runs_sharded():
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    model = tiny_model()
+    state = create_da_state(model, jax.random.key(0), image_size=64)
+    state = replicate(state, mesh)
+    b_s = shard_batch(make_batch(rng, 8), mesh)
+    b_t = shard_batch(make_batch(rng, 8), mesh)
+    step = make_parallel_da_step(model, mesh, compute_metrics=False)
+    new_state, metrics = step(state, b_s, b_t)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss_s"]))
+    # params stay fully replicated
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_parallel_matches_single_device():
+    """Global-batch SPMD must reproduce the single-device step exactly
+    (modulo float reduction order)."""
+    rng = np.random.default_rng(1)
+    model = tiny_model()
+    state = create_da_state(model, jax.random.key(0), image_size=64)
+    b_s = make_batch(rng, 8)
+    b_t = make_batch(rng, 8)
+
+    single = jax.jit(make_da_train_step(model, compute_metrics=False))
+    s1, m1 = single(state, b_s, b_t)
+
+    mesh = create_mesh()
+    state_r = replicate(create_da_state(model, jax.random.key(0), image_size=64), mesh)
+    step = make_parallel_da_step(model, mesh, compute_metrics=False)
+    s8, m8 = step(state_r, shard_batch(b_s, mesh), shard_batch(b_t, mesh))
+
+    assert float(m1["loss_s"]) == pytest.approx(float(m8["loss_s"]), rel=1e-4)
+    a = jax.tree.leaves(s1.params)
+    b = jax.tree.leaves(s8.params)
+    worst = max(
+        float(np.max(np.abs(np.asarray(x) - np.asarray(y)))) for x, y in zip(a, b)
+    )
+    assert worst < 1e-4
+
+
+def test_parallel_eval_step():
+    mesh = create_mesh()
+    rng = np.random.default_rng(2)
+    model = tiny_model()
+    x = jnp.asarray(rng.standard_normal((8, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x[:1], train=False, gl_coeff=0.0)
+    variables = replicate(variables, mesh)
+    x = shard_batch(x, mesh)
+    eval_step = make_parallel_eval_step(model, mesh)
+    y = eval_step(variables, x)
+    assert y.shape == (8, 16, 16, 4)
+    assert not y.sharding.is_fully_replicated  # batch stays sharded
