@@ -1,0 +1,189 @@
+"""Input pipeline: threaded host loading, infinite iteration, on-device batch
+finalization.
+
+Replaces the reference's ``DataLoader(num_workers=4, pin_memory=True)`` +
+``ForeverDataIterator`` (``train1.py:76-77``, ``utils/data.py:4-19``) with a
+TPU-shaped pipeline:
+
+  host threads: file read + decode + crop + PIL transforms → numpy batch
+  device:       Gaussian target rendering (batched ``generate_target``),
+                sharding over the data mesh, async prefetch of the next batch
+
+Rendering targets on device removes the reference's per-sample host Gaussian
+loops from the input critical path entirely.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dahpe_tpu.core.heatmap import generate_target
+
+
+def finalize_batch(
+    batch: dict,
+    *,
+    heatmap_size=(64, 64),
+    image_size=(256, 256),
+    sigma: float = 2.0,
+) -> dict:
+    """Render targets/weights on device and assemble the train-step batch."""
+    target, weight = generate_target(
+        jnp.asarray(batch["keypoint2d"]),
+        jnp.asarray(batch["visible"]),
+        heatmap_size,
+        image_size,
+        sigma=sigma,
+    )
+    out = {
+        "image": jnp.asarray(batch["image"]),
+        "target": target,
+        "weight": weight,
+    }
+    return out
+
+
+class ForeverIterator:
+    """Infinite epoch-free iterator (``utils/data.py:4-19`` semantics)."""
+
+    def __init__(self, make_iter):
+        self._make_iter = make_iter
+        self._it = make_iter()
+
+    def __next__(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = self._make_iter()
+            return next(self._it)
+
+    def __iter__(self):
+        return self
+
+
+class BatchLoader:
+    """Threaded batch loader over a KeypointDataset.
+
+    Each worker thread owns a ``numpy.random.Generator`` seeded from
+    ``seed + worker_id`` so augmentation is reproducible and shards cleanly
+    across hosts (pass a per-host ``seed`` for multi-host DP).
+    """
+
+    STOP = object()
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch: int = 4,
+        normalized_images: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for i in range(0, end, self.batch_size):
+            yield order[i : i + self.batch_size]
+
+    def _collate(self, items: list[dict]) -> dict:
+        keys = [
+            k
+            for k, v in items[0].items()
+            if isinstance(v, np.ndarray)
+        ]
+        return {k: np.stack([it[k] for it in items]) for k in keys}
+
+    def __iter__(self):
+        self._epoch += 1
+        batches = list(self._index_batches())
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        idx_q: "queue.Queue" = queue.Queue()
+        for bi, b in enumerate(batches):
+            idx_q.put((bi, b))
+        results: dict[int, dict] = {}
+        lock = threading.Lock()
+
+        def worker(wid: int):
+            rng = np.random.default_rng(self.seed * 100003 + self._epoch * 1009 + wid)
+            while True:
+                try:
+                    bi, idxs = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                items = [self.dataset.fetch(int(i), rng) for i in idxs]
+                with lock:
+                    results[bi] = self._collate(items)
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        def emitter():
+            next_bi = 0
+            n = len(batches)
+            import time
+
+            while next_bi < n:
+                with lock:
+                    ready = next_bi in results
+                if ready:
+                    with lock:
+                        out_q.put(results.pop(next_bi))
+                    next_bi += 1
+                else:
+                    time.sleep(0.001)
+            out_q.put(self.STOP)
+
+        threading.Thread(target=emitter, daemon=True).start()
+
+        while True:
+            item = out_q.get()
+            if item is self.STOP:
+                return
+            yield item
+
+
+def device_prefetch(iterator, finalize, size: int = 2):
+    """Overlap host loading + H2D transfer with device compute."""
+    import collections
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        while True:
+            while len(buf) < size:
+                buf.append(finalize(next(it)))
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()
