@@ -1,0 +1,61 @@
+"""Shared argparse flags, mirroring the reference CLI (``train1.py:602-674``)."""
+
+from __future__ import annotations
+
+import argparse
+
+from dahpe_tpu import models
+from dahpe_tpu.data import DATASETS
+
+
+def build_parser(phase: str = "train") -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native domain-adaptive hand keypoint detection"
+    )
+    parser.add_argument("target_root", help="root path of the target dataset")
+    parser.add_argument("--source_root", default="data/RHD", help="root of source dataset")
+    parser.add_argument("-s", "--source", default="RenderedHandPose",
+                        choices=sorted(DATASETS))
+    parser.add_argument("-t", "--target", choices=sorted(DATASETS), required=True)
+    parser.add_argument("--resize-scale", nargs="+", type=float, default=(0.6, 1.3))
+    parser.add_argument("--rotation", type=int, default=180)
+    parser.add_argument("--image-size", type=int, default=256)
+    parser.add_argument("--heatmap-size", type=int, default=64)
+    parser.add_argument("-a", "--arch", default="resnet101",
+                        choices=sorted(models.BACKBONES))
+    parser.add_argument("--pretrain", type=str, default=None,
+                        help="pretrained checkpoint (orbax dir or reference .pth)")
+    parser.add_argument("--imagenet-pth", type=str, default=None,
+                        help="torchvision ImageNet .pth for backbone init "
+                             "(this environment has no network egress)")
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--num-head-layers", type=int, default=2)
+    parser.add_argument("--trade-off", default=1.0, type=float)
+    parser.add_argument("-b", "--batch-size", default=32, type=int)
+    parser.add_argument("--lr", default=0.01, type=float)
+    parser.add_argument("--momentum", default=0.9, type=float)
+    parser.add_argument("--wd", "--weight-decay", default=1e-4, type=float, dest="wd")
+    parser.add_argument("--lr-gamma", default=1e-4, type=float)
+    parser.add_argument("--lr-decay", default=0.75, type=float)
+    parser.add_argument("--lr-step", default=[45, 60], nargs="+", type=int)
+    parser.add_argument("--lr-factor", default=0.1, type=float)
+    parser.add_argument("-j", "--workers", default=4, type=int)
+    parser.add_argument("--pretrain-epochs", default=70, type=int)
+    parser.add_argument("--epochs", default=200, type=int)
+    parser.add_argument("-i", "--iters-per-epoch", default=500, type=int)
+    parser.add_argument("-p", "--print-freq", default=100, type=int)
+    parser.add_argument("--seed", default=1, type=int)
+    parser.add_argument("--log", type=str, default="logs/mt")
+    parser.add_argument("--phase", type=str, default=phase, choices=["train", "test"])
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--ema-decay", default=0.999, type=float)
+    parser.add_argument("--with-ema", action="store_true",
+                        help="maintain + update the EMA twin each iteration "
+                             "(the reference creates it but leaves the update "
+                             "commented out, train1.py:461)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute dtype (fp32 params)")
+    if phase == "test":
+        parser.add_argument("--checkpoint", type=str, required=True,
+                            help="checkpoint to evaluate (orbax dir or .pth)")
+    return parser

@@ -1,0 +1,63 @@
+"""Evaluation CLI — the TPU-native ``test.py``.
+
+``python -m dahpe_tpu.cli.test <target_root> -t STB --checkpoint <path>``
+loads a checkpoint (orbax dir, or a reference torch ``.pth`` incl. the
+published ``STB_best_750.pth`` / ``H3D_best_754.pth``) and reports per-group
+PCK@0.05 on the source and target test splits (``test.py:37-227`` parity).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from dahpe_tpu.cli.args import build_parser
+from dahpe_tpu.cli.common import build_datasets, build_loaders, build_model, make_visualizer
+from dahpe_tpu.evaluate import make_eval_step, validate
+from dahpe_tpu.utils import checkpoint as ckpt
+from dahpe_tpu.utils.logging import RunLogger
+
+
+def main(args):
+    logger = RunLogger(args.log, "test")
+    print(args)
+
+    (train_source, val_source, train_target, val_target) = build_datasets(args)
+    (_, val_source_loader, _, val_target_loader) = build_loaders(
+        args, train_source, val_source, train_target, val_target
+    )
+
+    model = build_model(args, multi_head=True)
+    import jax.numpy as jnp
+
+    template = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, args.image_size, args.image_size, 3)),
+        train=False,
+        gl_coeff=0.0,
+    )
+    if args.checkpoint.endswith(".pth"):
+        variables = ckpt.load_reference_pth(args.checkpoint, template, strict=True)
+    else:
+        variables = ckpt.load_model_variables(args.checkpoint)
+    print(f"loaded {args.checkpoint}")
+
+    eval_step = make_eval_step(model)
+    visualize = make_visualizer(val_target, logger) if args.debug else None
+    src_acc = validate(
+        val_source_loader, model, variables, val_source,
+        image_size=args.image_size, heatmap_size=args.heatmap_size,
+        print_freq=args.print_freq, eval_step=eval_step,
+    )
+    tgt_acc = validate(
+        val_target_loader, model, variables, val_target,
+        image_size=args.image_size, heatmap_size=args.heatmap_size,
+        print_freq=args.print_freq, visualize=visualize, eval_step=eval_step,
+    )
+    print(f"Source: {src_acc['all']:4.3f} Target: {tgt_acc['all']:4.3f}")
+    for name, acc in tgt_acc.items():
+        print(f"{name}: {acc:4.3f}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main(build_parser("test").parse_args())

@@ -1,0 +1,267 @@
+"""DA training CLI — the TPU-native ``train1.py``.
+
+Flow parity with ``train1.py:37-275``: build transforms/datasets/loaders,
+model (+ optional EMA twin), supervised pretrain when no pretrain checkpoint
+is given, then 200 epochs x 500 iterations of the 3-step minimax with
+per-epoch validation, checkpointing and best-copy. The per-iteration work is
+one jitted SPMD step over the device mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dahpe_tpu.cli.args import build_parser
+from dahpe_tpu.cli.common import (
+    build_datasets,
+    build_loaders,
+    build_model,
+    make_visualizer,
+)
+from dahpe_tpu.data import ForeverIterator, finalize_batch
+from dahpe_tpu.evaluate import make_eval_step, validate
+from dahpe_tpu.parallel import create_mesh, make_parallel_da_step, replicate, shard_batch
+from dahpe_tpu.train import create_da_state, create_pretrain_state, make_pretrain_step
+from dahpe_tpu.train.optim import pretrain_lr_factor
+from dahpe_tpu.utils import checkpoint as ckpt
+from dahpe_tpu.utils.logging import RunLogger
+from dahpe_tpu.utils.meters import AverageMeter, ProgressMeter
+
+
+def variables_of(state):
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def pretrain_phase(args, logger, train_source_loader, val_source_loader,
+                   val_source_dataset):
+    """Supervised source pretraining (``train1.py:158-181``)."""
+    model = build_model(args, multi_head=False)
+    state = create_pretrain_state(
+        model, jax.random.key(args.seed), image_size=args.image_size,
+        momentum=args.momentum, weight_decay=args.wd,
+    )
+    if args.imagenet_pth:
+        variables = ckpt.load_reference_pth(
+            args.imagenet_pth, variables_of(state), strict=False
+        )
+        state = state.replace(
+            params=dict(variables["params"]),
+            batch_stats=dict(variables["batch_stats"]),
+        )
+    step_fn = jax.jit(make_pretrain_step(model))
+    eval_step = make_eval_step(model)
+    source_iter = ForeverIterator(lambda: iter(train_source_loader))
+    pretrain_path = logger.get_checkpoint_path("pretrain")
+    # the reference starts at 0 (train1.py:165) and would never write the
+    # checkpoint if val acc stayed <= 0; -inf guarantees a checkpoint exists
+    best_acc = float("-inf")
+
+    for epoch in range(args.pretrain_epochs):
+        lr = args.lr * pretrain_lr_factor(
+            epoch, milestones=tuple(args.lr_step), factor=args.lr_factor
+        )
+        print(f"pretrain epoch {epoch} lr {lr:.2e}")
+        batch_time = AverageMeter("Time", ":4.2f")
+        losses = AverageMeter("Loss (s)", ":.2e")
+        accs = AverageMeter("Acc (s)", ":3.2f")
+        progress = ProgressMeter(
+            args.iters_per_epoch, [batch_time, losses, accs],
+            prefix=f"Epoch: [{epoch}]",
+        )
+        end = time.time()
+        for i in range(args.iters_per_epoch):
+            batch = finalize_batch(
+                next(source_iter),
+                heatmap_size=(args.heatmap_size,) * 2,
+                image_size=(args.image_size,) * 2,
+            )
+            state, metrics = step_fn(state, batch, jnp.asarray(lr))
+            if i % args.print_freq == 0:
+                losses.update(float(metrics["loss_s"]))
+                accs.update(float(metrics["acc_s"]))
+                batch_time.update(time.time() - end)
+                progress.display(i)
+            end = time.time()
+
+        acc = validate(
+            val_source_loader, model, variables_of(state), val_source_dataset,
+            image_size=args.image_size, heatmap_size=args.heatmap_size,
+            print_freq=args.print_freq, eval_step=eval_step,
+        )
+        if acc["all"] > best_acc:
+            best_acc = acc["all"]
+            ckpt.save_state(pretrain_path, variables_of(state))
+        print(f"Source: {acc['all']:.4f} best: {best_acc:.4f}")
+    return pretrain_path
+
+
+def main(args):
+    logger = RunLogger(args.log, args.phase)
+    print(args)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    (train_source, val_source, train_target, val_target) = build_datasets(args)
+    (train_source_loader, val_source_loader,
+     train_target_loader, val_target_loader) = build_loaders(
+        args, train_source, val_source, train_target, val_target
+    )
+    print("Source train:", len(train_source_loader))
+    print("Target train:", len(train_target_loader))
+    print("Source test:", len(val_source_loader))
+    print("Target test:", len(val_target_loader))
+
+    model = build_model(args, multi_head=True)
+    state = create_da_state(
+        model, jax.random.key(args.seed), image_size=args.image_size,
+        with_ema=args.with_ema, momentum=args.momentum, weight_decay=args.wd,
+    )
+
+    start_epoch = 0
+    if args.resume:
+        state = ckpt.restore_state(args.resume, state)
+        start_epoch = int(state.step) // args.iters_per_epoch
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+    else:
+        pretrain_path = args.pretrain
+        if pretrain_path is None and args.phase == "train":
+            print("Pretraining the model on source domain.")
+            pretrain_path = pretrain_phase(
+                args, logger, train_source_loader, val_source_loader, val_source
+            )
+        if pretrain_path is not None:
+            variables = variables_of(state)
+            if pretrain_path.endswith(".pth"):
+                variables = ckpt.load_reference_pth(
+                    pretrain_path, variables, strict=False
+                )
+            else:
+                pre = ckpt.load_model_variables(pretrain_path)
+                # key-filtered warm start (train1.py:184-189): backbone +
+                # upsampling transfer; the pretrain head's Conv1x1 keys do
+                # not exist in the multi-head model and are dropped
+                from dahpe_tpu.utils.torch_import import filtered_update
+
+                variables = filtered_update(variables, pre)
+            state = state.replace(
+                params=dict(variables["params"]),
+                batch_stats=dict(variables["batch_stats"]),
+            )
+            if args.with_ema:
+                state = state.replace(
+                    ema_params=jax.tree.map(jnp.copy, state.params),
+                    ema_batch_stats=jax.tree.map(jnp.copy, state.batch_stats),
+                )
+
+    visualize = make_visualizer(train_source, logger) if args.debug else None
+    eval_step = make_eval_step(model)
+
+    if args.phase == "test":
+        src_acc = validate(val_source_loader, model, variables_of(state), val_source,
+                           image_size=args.image_size, heatmap_size=args.heatmap_size,
+                           print_freq=args.print_freq, eval_step=eval_step)
+        tgt_acc = validate(val_target_loader, model, variables_of(state), val_target,
+                           image_size=args.image_size, heatmap_size=args.heatmap_size,
+                           print_freq=args.print_freq, eval_step=eval_step)
+        print(f"Source: {src_acc['all']:4.3f} Target: {tgt_acc['all']:4.3f}")
+        for name, acc in tgt_acc.items():
+            print(f"{name}: {acc:4.3f}")
+        return
+
+    # --- DA training over the device mesh --------------------------------
+    import math
+
+    n_dev = math.gcd(args.batch_size, len(jax.devices()))
+    mesh = create_mesh(jax.devices()[:n_dev])
+    if n_dev < len(jax.devices()):
+        print(
+            f"using {n_dev}/{len(jax.devices())} devices "
+            f"(batch {args.batch_size} must divide evenly)"
+        )
+    step_fn = make_parallel_da_step(
+        model, mesh,
+        base_lr=args.lr, lr_gamma=args.lr_gamma, lr_decay=args.lr_decay,
+        trade_off=args.trade_off, momentum=args.momentum, weight_decay=args.wd,
+        ema_decay=args.ema_decay if args.with_ema else None,
+    )
+    state = replicate(state, mesh)
+
+    source_iter = ForeverIterator(lambda: iter(train_source_loader))
+    target_iter = ForeverIterator(lambda: iter(train_target_loader))
+
+    def next_batch(it):
+        return shard_batch(
+            finalize_batch(
+                next(it),
+                heatmap_size=(args.heatmap_size,) * 2,
+                image_size=(args.image_size,) * 2,
+            ),
+            mesh,
+        )
+
+    best_acc = float("-inf")
+    print("Start regression domain adaptation.")
+    for epoch in range(start_epoch, args.epochs):
+        logger.set_epoch(epoch)
+        batch_time = AverageMeter("Time", ":4.2f")
+        losses_s = AverageMeter("Loss (s)", ":.2e")
+        losses_gf = AverageMeter("Loss (t, false)", ":.2e")
+        losses_gt = AverageMeter("Loss (t, truth)", ":.2e")
+        acc_s = AverageMeter("Acc (s)", ":3.2f")
+        acc_t = AverageMeter("Acc (t)", ":3.2f")
+        progress = ProgressMeter(
+            args.iters_per_epoch,
+            [batch_time, losses_s, losses_gf, losses_gt, acc_s, acc_t],
+            prefix=f"Epoch: [{epoch}]",
+        )
+        end = time.time()
+        for i in range(args.iters_per_epoch):
+            state, metrics = step_fn(state, next_batch(source_iter),
+                                     next_batch(target_iter))
+            if i % args.print_freq == 0:
+                losses_s.update(float(metrics["loss_s"]))
+                losses_gf.update(float(metrics["loss_gf"]))
+                losses_gt.update(float(metrics["loss_gt"]))
+                acc_s.update(float(metrics["acc_s"]))
+                acc_t.update(float(metrics["acc_t"]))
+                batch_time.update(time.time() - end)
+                progress.display(i)
+            end = time.time()
+
+        src_acc = validate(val_source_loader, model, variables_of(state), val_source,
+                           image_size=args.image_size, heatmap_size=args.heatmap_size,
+                           print_freq=args.print_freq, eval_step=eval_step)
+        tgt_acc = validate(val_target_loader, model, variables_of(state), val_target,
+                           image_size=args.image_size, heatmap_size=args.heatmap_size,
+                           print_freq=args.print_freq,
+                           visualize=make_visualizer(val_target, logger) if args.debug else None,
+                           eval_step=eval_step)
+
+        ckpt.save_state(logger.get_checkpoint_path(epoch), state)
+        if args.with_ema:
+            ckpt.save_state(
+                logger.get_checkpoint_path("model_ema"),
+                {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+            )
+        if tgt_acc["all"] > best_acc:
+            best_acc = tgt_acc["all"]
+            ckpt.save_state(logger.get_checkpoint_path("best"), state)
+        print(
+            f"Source: {src_acc['all']:4.3f} Target: {tgt_acc['all']:4.3f} "
+            f"Target(best): {best_acc:4.3f}"
+        )
+        for name, acc in tgt_acc.items():
+            print(f"{name}: {acc:4.3f}")
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    main(build_parser("train").parse_args())

@@ -35,7 +35,12 @@ def joints_kl_loss(
     pred = output.reshape(b, h * w, k)
     logp = jax.nn.log_softmax(pred, axis=1)
     t = target.reshape(b, h * w, k) + epsilon
-    t = t / jnp.sum(t, axis=1, keepdims=True)
+    # NOTE: divergence from the reference (loss.py:151), which divides by the
+    # raw sum and therefore returns NaN for an all-zero (invisible /
+    # out-of-bounds) joint even at weight 0 — 0/0 * 0 == NaN poisons the
+    # batch mean. Guarding the denominator makes such joints contribute
+    # exactly 0 while leaving every visible joint bit-identical.
+    t = t / jnp.maximum(jnp.sum(t, axis=1, keepdims=True), 1e-12)
     kl = xlogy(t, t) - t * logp  # elementwise; xlogy(0, 0) == 0 as in torch
     loss = jnp.sum(kl, axis=1)  # (B, K)
     if target_weight is not None:

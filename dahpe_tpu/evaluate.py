@@ -1,0 +1,82 @@
+"""Validation loop: per-group PCK over a dataset.
+
+Mirrors ``validate`` (``train1.py:495-536``): eval-mode forward (main head
+only), per-batch PCK per joint, grouped via the dataset's keypoint groups,
+averaged across batches weighted by batch size. The forward + metric run
+jitted on device; only the tiny per-group dict returns to host.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dahpe_tpu.core.losses import joints_kl_loss
+from dahpe_tpu.core.metrics import pck_accuracy
+from dahpe_tpu.data.pipeline import finalize_batch
+from dahpe_tpu.utils.meters import AverageMeter, AverageMeterDict
+
+
+def make_eval_step(model):
+    @jax.jit
+    def eval_step(variables, batch):
+        out = model.apply(variables, batch["image"], train=False, gl_coeff=0.0)
+        y = out["y"] if isinstance(out, dict) else out
+        loss = joints_kl_loss(y, batch["target"], batch["weight"])
+        acc_per_joint, avg_acc, cnt, pred = pck_accuracy(y, batch["target"])
+        return {
+            "loss": loss,
+            "acc_per_joint": acc_per_joint,
+            "avg_acc": avg_acc,
+            "cnt": cnt,
+            "pred": pred,
+        }
+
+    return eval_step
+
+
+def validate(
+    loader,
+    model,
+    variables,
+    dataset,
+    *,
+    image_size: int = 256,
+    heatmap_size: int = 64,
+    visualize=None,
+    print_freq: int = 100,
+    eval_step=None,
+) -> dict:
+    """Returns the per-group PCK dict {MCP, PIP, DIP, fingertip, all}."""
+    eval_step = eval_step or make_eval_step(model)
+    acc = AverageMeterDict(dataset.keypoints_group.keys(), ":3.2f")
+    losses = AverageMeter("Loss", ":.2e")
+
+    for i, host_batch in enumerate(loader):
+        batch = finalize_batch(
+            host_batch,
+            heatmap_size=(heatmap_size, heatmap_size),
+            image_size=(image_size, image_size),
+        )
+        out = eval_step(variables, batch)
+        n = int(host_batch["image"].shape[0])
+        losses.update(float(out["loss"]), n)
+        acc_per_joint = jax.device_get(out["acc_per_joint"])
+        group_acc = dataset.group_accuracy(list(acc_per_joint))
+        acc.update(group_acc, n)
+
+        if i % print_freq == 0:
+            print(f"Test: [{i}/{len(loader)}]\t{losses}\tall {acc['all'].avg:.3f}")
+            if visualize is not None:
+                pred = jax.device_get(out["pred"])[0]
+                visualize(
+                    host_batch["image"][0],
+                    pred * image_size / heatmap_size,
+                    f"val_{i}_pred",
+                )
+                visualize(
+                    host_batch["image"][0],
+                    host_batch["keypoint2d"][0],
+                    f"val_{i}_label",
+                )
+    return acc.average()

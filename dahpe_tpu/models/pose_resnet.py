@@ -33,7 +33,10 @@ class PoseResNet(nn.Module):
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, *, train: bool = False, gl_coeff=0.0
+    ) -> jnp.ndarray:
+        del gl_coeff  # uniform signature with MultiHeadPoseResNet
         x = self.backbone(x, train=train)
         x = Upsampling(
             dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="upsampling"

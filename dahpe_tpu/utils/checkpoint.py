@@ -1,0 +1,72 @@
+"""Checkpointing: orbax for native state, plus reference-``.pth`` interop.
+
+The reference saves per-epoch torch dicts with model + 3 of 5 optimizer /
+scheduler states (``train1.py:248-268``). Natively we checkpoint the FULL
+``DATrainState`` pytree (all five optimizer partitions, step, EMA) with
+orbax; ``save_reference_pth`` emits a torch-compatible ``state_dict`` so
+models trained here load in the upstream codebase.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_state(path: str, state) -> None:
+    """Save a train-state pytree (orbax, overwriting)."""
+    path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+
+
+def restore_state(path: str, target):
+    """Restore into the structure of ``target`` (a template state)."""
+    path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    return ckptr.restore(path, item=jax.device_get(target))
+
+
+def load_model_variables(path: str):
+    """Restore only {params, batch_stats} from a saved train state."""
+    state = _checkpointer().restore(os.path.abspath(path))
+    return {"params": state["params"], "batch_stats": state["batch_stats"]}
+
+
+def save_reference_pth(path: str, variables) -> None:
+    """Write a torch ``{'model': state_dict}`` .pth loadable by the reference."""
+    import torch
+
+    from dahpe_tpu.utils.torch_import import export_torch_state_dict
+
+    state = export_torch_state_dict(jax.device_get(variables))
+    torch.save({"model": {k: torch.from_numpy(v.copy()) for k, v in state.items()}}, path)
+
+
+def load_reference_pth(path: str, template_variables, *, strict: bool = False):
+    """Load a reference .pth into Flax variables.
+
+    strict=True audits every key/shape (eval of published checkpoints);
+    strict=False reproduces the reference's key-filtered warm start
+    (``train1.py:184-189``).
+    """
+    from dahpe_tpu.utils.torch_import import (
+        filtered_update,
+        import_torch_state_dict,
+        load_pth,
+    )
+
+    state_dict = load_pth(path)
+    if strict:
+        return import_torch_state_dict(
+            state_dict, reference_variables=template_variables
+        )
+    imported = import_torch_state_dict(state_dict)
+    return filtered_update(dict(template_variables), imported)
