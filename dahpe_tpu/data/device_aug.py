@@ -1,0 +1,247 @@
+"""On-device batched augmentation — the TPU-native input hot path.
+
+The reference augments per sample on the host with PIL: rotate (one bilinear
+resample) → random resized crop (crop + another resample) → color jitter →
+Gaussian blur → normalize (``train1.py:56-63``). Here the whole geometric
+chain composes into ONE affine map applied with a single bilinear gather per
+batch on the TPU, followed by vectorized photometric ops — no host work
+beyond the raw decoded crop, no multiple resamplings, and keypoints /
+intrinsics transform through the exact same matrix.
+
+Semantics intentionally match the reference distributions (angle ~ U(-180,
+180), square crop area ratio ~ U(0.6, 1.3) clamped to the image, jitter
+factors ~ U(1±0.25) in random order, blur radius ~ U(0, 0.8)); pixel values
+differ from PIL only by resampling-composition order, which is augmentation
+noise by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def _affine_params(key, h: int, w: int, out_size: int, rotation: float,
+                   scale_range: tuple[float, float]):
+    """Sample per-image rotation + square-crop and compose into a single
+    output-pixel → source-pixel affine map (2x2 matrix + offset)."""
+    k_ang, k_area, k_i, k_j = jax.random.split(key, 4)
+    angle = jax.random.uniform(k_ang, (), minval=-rotation, maxval=rotation)
+    rad = jnp.deg2rad(angle)
+
+    area = jnp.asarray(h * w, jnp.float32)
+    target_area = jax.random.uniform(
+        k_area, (), minval=scale_range[0], maxval=scale_range[1]
+    ) * area
+    side = jnp.sqrt(target_area)
+    side = jnp.clip(jnp.round(side), 1.0, jnp.minimum(h, w))
+    i = jnp.floor(jax.random.uniform(k_i, ()) * (h - side + 1.0))
+    j = jnp.floor(jax.random.uniform(k_j, ()) * (w - side + 1.0))
+
+    # source = R^{-1} (crop(x)) composed: out pixel p -> crop-space q =
+    # p * side/out + (j, i) -> rotate back around image center.
+    s = side / out_size
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    # keypoint transform used by the reference rotates keypoints by -angle
+    # around the center; the inverse image map rotates source coords by the
+    # forward angle.
+    rot_inv = jnp.array([[cos, -sin], [sin, cos]])  # maps crop coords to src
+    center = jnp.array([w / 2.0, h / 2.0])
+    # out (x, y) -> pre-rotation coords
+    scale_mat = jnp.array([[s, 0.0], [0.0, s]])
+    offset = jnp.array([j, i])
+    # full map: src = R_inv @ (scale @ p + offset - center) + center
+    mat = rot_inv @ scale_mat
+    off = rot_inv @ (offset - center) + center
+    factor = out_size / side
+    return mat, off, angle, side, offset, factor
+
+
+def _bilinear_sample(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample image (H, W, C) at float coords (Ho, Wo, 2) as (x, y)."""
+    h, w, _ = image.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def gather(yy, xx):
+        valid = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        xx = jnp.clip(xx, 0, w - 1)
+        yy = jnp.clip(yy, 0, h - 1)
+        vals = image[yy, xx]  # (Ho, Wo, C)
+        return vals * valid[..., None]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    wx = dx[..., None]
+    wy = dy[..., None]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def _warp_one(image, keypoint2d, intrinsic, key, *, out_size, rotation,
+              scale_range):
+    h, w, _ = image.shape
+    mat, off, angle, side, crop_off, factor = _affine_params(
+        key, h, w, out_size, rotation, scale_range
+    )
+    ys = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+    grid = jnp.stack(
+        jnp.meshgrid(xs, ys, indexing="xy"), axis=-1
+    )  # (out, out, 2) as (x, y)
+    src = grid @ mat.T + off - 0.5
+    out = _bilinear_sample(image, src)
+
+    # keypoints follow the reference algebra: rotate by -angle around the
+    # center, subtract the crop offset, scale by out/side
+    rad = -jnp.deg2rad(angle)
+    rot_kp = jnp.array(
+        [[jnp.cos(rad), -jnp.sin(rad)], [jnp.sin(rad), jnp.cos(rad)]]
+    )
+    center = jnp.array([w / 2.0, h / 2.0])
+    kp = (keypoint2d - center) @ rot_kp.T + center
+    kp = (kp - crop_off) * factor
+
+    intr = intrinsic.at[0, 0].mul(factor).at[1, 1].mul(factor)
+    intr = intr.at[0, 2].mul(factor).at[1, 2].mul(factor)
+    return out, kp, intr
+
+
+def _color_jitter(image, key, strength=0.25):
+    """Brightness/contrast/saturation in random order, torchvision factors.
+
+    image: (H, W, C) in [0, 255] float.
+    """
+    keys = jax.random.split(key, 4)
+    factors = jax.random.uniform(
+        keys[0], (3,), minval=1.0 - strength, maxval=1.0 + strength
+    )
+    order = jax.random.permutation(keys[1], 3)
+
+    def brightness(img, f):
+        return jnp.clip(img * f, 0, 255)
+
+    def contrast(img, f):
+        gray = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        ).mean()
+        return jnp.clip(img * f + gray * (1 - f), 0, 255)
+
+    def saturation(img, f):
+        gray = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        )[..., None]
+        return jnp.clip(img * f + gray * (1 - f), 0, 255)
+
+    def apply(i, img):
+        op = order[i]
+        f = factors[op]
+        return jax.lax.switch(
+            op,
+            [brightness, contrast, saturation],
+            img,
+            f,
+        )
+
+    return jax.lax.fori_loop(0, 3, apply, image)
+
+
+def _gaussian_blur(image, key, low=0.0, high=0.8, kernel_radius=2):
+    """PIL-style Gaussian blur with a random radius.
+
+    A fixed 5-tap separable kernel whose sigma is the sampled radius (PIL
+    treats 'radius' as the standard deviation); radius ~ U(0, 0.8) so 2
+    pixels of support suffice.
+    """
+    radius = jax.random.uniform(key, (), minval=low, maxval=high)
+    sigma = jnp.maximum(radius, 1e-3)
+    offs = jnp.arange(-kernel_radius, kernel_radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-(offs**2) / (2 * sigma**2))
+    # radius ~ 0 -> identity kernel
+    k = jnp.where(radius < 1e-2, (offs == 0).astype(jnp.float32), k)
+    k = k / k.sum()
+    r = kernel_radius
+    c = image.shape[-1]
+    img = jnp.pad(image, ((r, r), (r, r), (0, 0)), mode="edge")[None]
+    kv = jnp.tile(k[:, None, None, None], (1, 1, 1, c))
+    kh = jnp.tile(k[None, :, None, None], (1, 1, 1, c))
+    img = jax.lax.conv_general_dilated(
+        img, kv, (1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    img = jax.lax.conv_general_dilated(
+        img, kh, (1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    return img[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_size", "rotation", "scale_range", "jitter", "blur"),
+)
+def augment_batch(
+    images: jnp.ndarray,
+    keypoints: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    key,
+    *,
+    out_size: int = 256,
+    rotation: float = 180.0,
+    scale_range: tuple[float, float] = (0.6, 1.3),
+    jitter: float = 0.25,
+    blur: bool = True,
+):
+    """Fused train-time augmentation for a batch of same-sized crops.
+
+    Args:
+      images: (B, H, W, 3) float32 in [0, 255] (raw decoded crops).
+      keypoints: (B, K, 2); intrinsics: (B, 3, 3).
+    Returns: normalized images (B, out, out, 3), keypoints, intrinsics.
+    """
+    b = images.shape[0]
+    keys = jax.random.split(key, (b, 3))
+
+    def one(img, kp, intr, ks):
+        img, kp, intr = _warp_one(
+            img, kp, intr, ks[0], out_size=out_size, rotation=rotation,
+            scale_range=scale_range,
+        )
+        if jitter:
+            img = _color_jitter(img, ks[1], jitter)
+        if blur:
+            img = _gaussian_blur(img, ks[2])
+        img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        return img, kp, intr
+
+    return jax.vmap(one)(images, keypoints, intrinsics, keys)
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def resize_batch(images, keypoints, intrinsics, *, out_size: int = 256):
+    """Fused eval-time square resize + normalize (the val transform)."""
+    b, h, w, c = images.shape
+    out = jax.image.resize(images, (b, out_size, out_size, c), method="linear")
+    factor = out_size / w
+    out = (out / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    kp = keypoints * factor
+    intr = intrinsics.at[:, 0, 0].mul(factor).at[:, 1, 1].mul(factor)
+    intr = intr.at[:, 0, 2].mul(factor).at[:, 1, 2].mul(factor)
+    return out, kp, intr

@@ -1,0 +1,93 @@
+"""On-device augmentation: geometric consistency + parity with the host path."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from dahpe_tpu.data import device_aug
+from dahpe_tpu.data import transforms as T
+
+
+def _checker(h=96, w=96, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, size=(h, w, 3)).astype(np.float32)
+    return img
+
+
+def test_resize_batch_matches_host_resize():
+    rng = np.random.default_rng(0)
+    img = _checker(120, 120)
+    kp = rng.uniform(10, 110, size=(21, 2)).astype(np.float32)
+    intr = np.asarray([[100.0, 0, 60], [0, 100.0, 60], [0, 0, 1]], np.float32)
+
+    pil = Image.fromarray(img.astype(np.uint8))
+    ref_img, ref_kp, ref_intr = T.resize(pil, 64, kp, intr)
+    ref_arr = T.to_normalized_array(ref_img)
+
+    out, kp2, intr2 = device_aug.resize_batch(
+        jnp.asarray(img)[None], jnp.asarray(kp)[None], jnp.asarray(intr)[None],
+        out_size=64,
+    )
+    np.testing.assert_allclose(np.asarray(kp2[0]), ref_kp, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(intr2[0]), ref_intr, rtol=1e-6)
+    # resampling kernels differ slightly (PIL antialiases on downscale);
+    # normalized images must still agree closely in the mean
+    diff = np.abs(np.asarray(out[0]) - ref_arr)
+    assert diff.mean() < 0.25
+
+
+def test_augment_batch_keypoints_track_pixels():
+    """A bright dot placed at a known keypoint must land (approximately) at
+    the transformed keypoint location after the fused warp."""
+    key = jax.random.key(3)
+    img = np.zeros((96, 96, 3), np.float32)
+    kp_src = np.asarray([[48.0, 32.0]], np.float32)
+    y0, x0 = int(kp_src[0, 1]), int(kp_src[0, 0])
+    img[y0 - 1 : y0 + 2, x0 - 1 : x0 + 2] = 255.0
+    intr = np.eye(3, dtype=np.float32)
+
+    out, kp, _ = device_aug.augment_batch(
+        jnp.asarray(img)[None],
+        jnp.asarray(kp_src)[None],
+        jnp.asarray(intr)[None],
+        key,
+        out_size=64,
+        rotation=45.0,
+        scale_range=(0.8, 1.0),
+        jitter=0.0,
+        blur=False,
+    )
+    out = np.asarray(out[0])
+    kp = np.asarray(kp[0, 0])
+    # un-normalize and find the dot
+    img_un = out * np.asarray(T.IMAGENET_STD) + np.asarray(T.IMAGENET_MEAN)
+    intensity = img_un.sum(-1)
+    py, px = np.unravel_index(np.argmax(intensity), intensity.shape)
+    if 0 <= kp[0] < 64 and 0 <= kp[1] < 64:
+        assert abs(px - kp[0]) <= 2.0 and abs(py - kp[1]) <= 2.0
+
+
+def test_augment_batch_shapes_and_finite():
+    rng = np.random.default_rng(1)
+    imgs = rng.uniform(0, 255, size=(4, 80, 80, 3)).astype(np.float32)
+    kps = rng.uniform(0, 80, size=(4, 21, 2)).astype(np.float32)
+    intr = np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))
+    out, kp, ii = device_aug.augment_batch(
+        jnp.asarray(imgs), jnp.asarray(kps), jnp.asarray(intr), jax.random.key(0),
+        out_size=64,
+    )
+    assert out.shape == (4, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(kp)).all()
+    # different batch elements got different augmentations
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_gaussian_blur_preserves_mean():
+    img = _checker(64, 64, seed=2)
+    out = device_aug._gaussian_blur(jnp.asarray(img), jax.random.key(1))
+    assert out.shape == img.shape
+    assert abs(float(out.mean()) - float(img.mean())) < 1.5
