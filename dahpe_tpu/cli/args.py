@@ -55,6 +55,10 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                              "commented out, train1.py:461)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute dtype (fp32 params)")
+    parser.add_argument("--device-aug", action="store_true",
+                        help="fast path: host threads only decode+crop, all "
+                             "augmentation (fused affine warp, jitter, blur, "
+                             "normalize) runs batched on the TPU")
     if phase == "test":
         parser.add_argument("--checkpoint", type=str, required=True,
                             help="checkpoint to evaluate (orbax dir or .pth)")

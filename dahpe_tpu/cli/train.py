@@ -193,18 +193,44 @@ def main(args):
     )
     state = replicate(state, mesh)
 
+    if args.device_aug:
+        # fast path: host threads only decode+crop+canonical-resize; the
+        # geometric+photometric augmentation runs fused on device
+        from dahpe_tpu.data import BatchLoader
+        from dahpe_tpu.data.pipeline import device_train_batch
+
+        train_source_loader = BatchLoader(
+            train_source, args.batch_size,
+            num_workers=args.workers, seed=args.seed, raw=True,
+        )
+        train_target_loader = BatchLoader(
+            train_target, args.batch_size,
+            num_workers=args.workers, seed=args.seed + 1, raw=True,
+        )
+        aug_key = jax.random.key(args.seed)
+
     source_iter = ForeverIterator(lambda: iter(train_source_loader))
     target_iter = ForeverIterator(lambda: iter(train_target_loader))
 
     def next_batch(it):
-        return shard_batch(
-            finalize_batch(
+        if args.device_aug:
+            nonlocal_key = next_batch.key
+            next_batch.key, sub = jax.random.split(nonlocal_key)
+            batch = device_train_batch(
+                next(it), sub,
+                image_size=args.image_size, heatmap_size=args.heatmap_size,
+                rotation=args.rotation, scale_range=tuple(args.resize_scale),
+            )
+        else:
+            batch = finalize_batch(
                 next(it),
                 heatmap_size=(args.heatmap_size,) * 2,
                 image_size=(args.image_size,) * 2,
-            ),
-            mesh,
-        )
+            )
+        return shard_batch(batch, mesh)
+
+    if args.device_aug:
+        next_batch.key = aug_key
 
     best_acc = float("-inf")
     print("Start regression domain adaptation.")

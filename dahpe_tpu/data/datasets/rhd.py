@@ -129,3 +129,29 @@ class RenderedHandPose(Hand21KeypointDataset):
             "intrinsic_matrix": intrinsic_matrix.astype(np.float32),
             "image_path": image_path,
         }
+
+    def fetch_raw(self, index: int, rng: np.random.Generator, raw_size: int = 288):
+        """Fast-path fetch: decode + crop + flip + ONE canonical resize to
+        ``raw_size`` uint8; all augmentation happens on device
+        (:mod:`dahpe_tpu.data.device_aug`)."""
+        sample = self.samples[index]
+        image = Image.open(os.path.join(self.root, sample["name"]))
+        keypoint2d = np.array(sample["keypoint2d"])
+        intrinsic_matrix = np.array(sample["intrinsic_matrix"], np.float32)
+        bounding_box = get_bounding_box(keypoint2d)
+        w, h = image.size
+        left, upper, right, lower = scale_box(bounding_box, w, h, 1.5)
+        image, keypoint2d = T.crop(
+            image, upper, left, lower - upper, right - left, keypoint2d
+        )
+        if sample["left"] is False:
+            image, keypoint2d = T.hflip(image, keypoint2d)
+        image, keypoint2d, intrinsic_matrix = T.resize(
+            image, raw_size, keypoint2d, intrinsic_matrix
+        )
+        return {
+            "image_u8": np.asarray(image, dtype=np.uint8),
+            "keypoint2d": keypoint2d.astype(np.float32),
+            "visible": np.array(sample["visible"], dtype=np.float32),
+            "intrinsic_matrix": intrinsic_matrix,
+        }

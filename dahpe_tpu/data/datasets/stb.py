@@ -164,3 +164,26 @@ class STB(Hand21KeypointDataset):
         if "image_ema" in data:
             out["image_ema"] = np.asarray(data["image_ema"], dtype=np.float32)
         return out
+
+    def fetch_raw(self, index: int, rng: np.random.Generator, raw_size: int = 288):
+        """Fast-path fetch: decode + 1.6x crop + ONE canonical resize."""
+        sample = self.samples[index]
+        image = Image.open(os.path.join(self.root, sample["name"]))
+        keypoint2d = np.array(sample["keypoint2d"])
+        keypoint2d2 = np.array(sample["keypoint2d2"])
+        intrinsic_matrix = np.array(sample["intrinsic_matrix"], np.float32)
+        bounding_box = get_bounding_box(keypoint2d2)
+        w, h = image.size
+        left, upper, right, lower = scale_box(bounding_box, w, h, 1.6)
+        image, keypoint2d = T.crop(
+            image, upper, left, lower - upper, right - left, keypoint2d
+        )
+        image, keypoint2d, intrinsic_matrix = T.resize(
+            image, raw_size, keypoint2d, intrinsic_matrix
+        )
+        return {
+            "image_u8": np.asarray(image, dtype=np.uint8),
+            "keypoint2d": keypoint2d.astype(np.float32),
+            "visible": np.ones((self.num_keypoints,), np.float32),
+            "intrinsic_matrix": intrinsic_matrix,
+        }

@@ -87,7 +87,8 @@ class BatchLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch: int = 4,
-        normalized_images: bool = True,
+        raw: bool = False,
+        raw_size: int = 288,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -96,6 +97,8 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.raw = raw
+        self.raw_size = raw_size
         self._epoch = 0
 
     def __len__(self):
@@ -137,7 +140,13 @@ class BatchLoader:
                     bi, idxs = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                items = [self.dataset.fetch(int(i), rng) for i in idxs]
+                if self.raw:
+                    items = [
+                        self.dataset.fetch_raw(int(i), rng, self.raw_size)
+                        for i in idxs
+                    ]
+                else:
+                    items = [self.dataset.fetch(int(i), rng) for i in idxs]
                 with lock:
                     results[bi] = self._collate(items)
 
@@ -171,6 +180,39 @@ class BatchLoader:
             if item is self.STOP:
                 return
             yield item
+
+
+def device_train_batch(
+    batch: dict,
+    key,
+    *,
+    image_size: int = 256,
+    heatmap_size: int = 64,
+    rotation: float = 180.0,
+    scale_range: tuple[float, float] = (0.6, 1.3),
+    sigma: float = 2.0,
+) -> dict:
+    """Fast-path finalization: fused ON-DEVICE augmentation of a raw uint8
+    batch (``BatchLoader(raw=True)``) + Gaussian target rendering."""
+    from dahpe_tpu.data.device_aug import augment_batch
+
+    img, kp, _ = augment_batch(
+        jnp.asarray(batch["image_u8"], jnp.float32),
+        jnp.asarray(batch["keypoint2d"]),
+        jnp.asarray(batch["intrinsic_matrix"]),
+        key,
+        out_size=image_size,
+        rotation=rotation,
+        scale_range=tuple(scale_range),
+    )
+    target, weight = generate_target(
+        kp,
+        jnp.asarray(batch["visible"]),
+        (heatmap_size, heatmap_size),
+        (image_size, image_size),
+        sigma=sigma,
+    )
+    return {"image": img, "target": target, "weight": weight}
 
 
 def device_prefetch(iterator, finalize, size: int = 2):

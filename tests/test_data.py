@@ -199,3 +199,23 @@ def test_loader_and_finalize_batch(tmp_path):
 def test_registry():
     with pytest.raises(ValueError):
         get_dataset("NoSuchDataset")
+
+
+def test_raw_loader_and_device_train_batch(tmp_path):
+    import jax
+
+    from dahpe_tpu.data.pipeline import device_train_batch
+
+    root = _make_rhd_fixture(str(tmp_path))
+    ds = RenderedHandPose(root, split="train", transforms=None)
+    loader = BatchLoader(ds, batch_size=4, num_workers=2, seed=0, raw=True,
+                         raw_size=160)
+    batch = next(iter(loader))
+    assert batch["image_u8"].shape == (4, 160, 160, 3)
+    assert batch["image_u8"].dtype == np.uint8
+    final = device_train_batch(
+        batch, jax.random.key(0), image_size=128, heatmap_size=32
+    )
+    assert final["image"].shape == (4, 128, 128, 3)
+    assert final["target"].shape == (4, 32, 32, 21)
+    assert np.isfinite(np.asarray(final["image"])).all()
