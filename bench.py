@@ -20,11 +20,84 @@ import numpy as np
 REF_GPU_IMG_S = 120.0
 
 
+def bench_train_step(batch: int = 32) -> None:
+    """Secondary benchmark: full 3-step DA training iteration throughput
+    (three fwd+bwd of ResNet-101 + pseudo-labels + partitioned SGD)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dahpe_tpu import models
+    from dahpe_tpu.train import create_da_state, make_da_train_step
+
+    backbone = models.get_backbone("resnet101", dtype=jnp.bfloat16)
+    model = models.MultiHeadPoseResNet(
+        backbone=backbone, num_keypoints=21, dtype=jnp.bfloat16
+    )
+    print(f"init DA state (batch {batch})", file=sys.stderr)
+    state = create_da_state(model, jax.random.key(0), image_size=256,
+                            batch_size=batch)
+    step = make_da_train_step(model, compute_metrics=False)
+
+    rng = np.random.default_rng(0)
+
+    def mk_batch():
+        return {
+            "image": jnp.asarray(
+                rng.standard_normal((batch, 256, 256, 3)), jnp.float32
+            ),
+            "target": jnp.asarray(
+                np.clip(rng.standard_normal((batch, 64, 64, 21)), 0, None),
+                jnp.float32,
+            ),
+            "weight": jnp.ones((batch, 21), jnp.float32),
+        }
+
+    b_s, b_t = mk_batch(), mk_batch()
+
+    @jax.jit
+    def run_n(state, n):
+        def body(_, s):
+            s2, _m = step(s, b_s, b_t)
+            return s2
+        return jax.lax.fori_loop(0, n, body, state)
+
+    def timed(n):
+        t0 = time.perf_counter()
+        out = run_n(state, n)
+        float(jax.tree.leaves(out.params)[0].ravel()[0])
+        return time.perf_counter() - t0
+
+    timed(1)
+    t_lo = min(timed(1) for _ in range(2))
+    t_hi = min(timed(9) for _ in range(2))
+    per_step = (t_hi - t_lo) / 8
+    img_s = 2 * batch / per_step  # one source + one target batch per iter
+    print(
+        f"DA train step: {per_step*1e3:.1f} ms/iter, {img_s:.1f} img/s "
+        f"(batch {batch}+{batch})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "da_train_images_per_sec_per_chip_256px",
+                "value": round(img_s, 1),
+                "unit": "images/sec",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from dahpe_tpu import models
+
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        bench_train_step(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
+        return
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     backbone = models.get_backbone("resnet101", dtype=jnp.bfloat16)
