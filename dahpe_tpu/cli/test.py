@@ -29,12 +29,14 @@ def main(args):
     model = build_model(args, multi_head=True)
     import jax.numpy as jnp
 
-    template = model.init(
-        jax.random.key(0),
-        jnp.zeros((1, args.image_size, args.image_size, 3)),
-        train=False,
-        gl_coeff=0.0,
-    )
+    template = jax.jit(
+        lambda r: model.init(
+            r,
+            jnp.zeros((1, args.image_size, args.image_size, 3)),
+            train=False,
+            gl_coeff=0.0,
+        )
+    )(jax.random.key(0))
     if args.checkpoint.endswith(".pth"):
         variables = ckpt.load_reference_pth(args.checkpoint, template, strict=True)
     else:

@@ -63,7 +63,11 @@ def create_da_state(
     weight_decay: float = 1e-4,
 ) -> DATrainState:
     x = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
-    variables = model.init(rng, x, train=False, gl_coeff=0.0)
+    # jit the init: tracing it eagerly dispatches hundreds of tiny ops, which
+    # is pathological on high-latency device transports
+    variables = jax.jit(
+        lambda r: model.init(r, x, train=False, gl_coeff=0.0)
+    )(rng)
     params = dict(variables["params"])
     batch_stats = dict(variables["batch_stats"])
     tx = torch_sgd(momentum=momentum, weight_decay=weight_decay)

@@ -49,7 +49,7 @@ def create_pretrain_state(
     weight_decay: float = 1e-4,
 ) -> PretrainState:
     x = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
-    variables = model.init(rng, x, train=False)
+    variables = jax.jit(lambda r: model.init(r, x, train=False))(rng)
     params = dict(variables["params"])
     tx = torch_sgd(momentum=momentum, weight_decay=weight_decay)
     return PretrainState(
