@@ -63,23 +63,29 @@ def create_da_state(
     weight_decay: float = 1e-4,
 ) -> DATrainState:
     x = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
-    # jit the init: tracing it eagerly dispatches hundreds of tiny ops, which
-    # is pathological on high-latency device transports
-    variables = jax.jit(
-        lambda r: model.init(r, x, train=False, gl_coeff=0.0)
-    )(rng)
-    params = dict(variables["params"])
-    batch_stats = dict(variables["batch_stats"])
     tx = torch_sgd(momentum=momentum, weight_decay=weight_decay)
-    opt = init_partitioned(tx, params, DA_PARTITIONS)
-    return DATrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        opt=opt,
-        ema_params=jax.tree.map(jnp.copy, params) if with_ema else None,
-        ema_batch_stats=jax.tree.map(jnp.copy, batch_stats) if with_ema else None,
-    )
+
+    # ONE jitted program builds the whole state: eager tracing would dispatch
+    # thousands of tiny init/zeros ops, which is pathological on high-latency
+    # device transports.
+    @jax.jit
+    def build(rng):
+        variables = model.init(rng, x, train=False, gl_coeff=0.0)
+        params = dict(variables["params"])
+        batch_stats = dict(variables["batch_stats"])
+        opt = init_partitioned(tx, params, DA_PARTITIONS)
+        return DATrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt=opt,
+            ema_params=jax.tree.map(jnp.copy, params) if with_ema else None,
+            ema_batch_stats=(
+                jax.tree.map(jnp.copy, batch_stats) if with_ema else None
+            ),
+        )
+
+    return build(rng)
 
 
 def make_da_train_step(

@@ -49,15 +49,20 @@ def create_pretrain_state(
     weight_decay: float = 1e-4,
 ) -> PretrainState:
     x = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
-    variables = jax.jit(lambda r: model.init(r, x, train=False))(rng)
-    params = dict(variables["params"])
     tx = torch_sgd(momentum=momentum, weight_decay=weight_decay)
-    return PretrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=dict(variables["batch_stats"]),
-        opt=init_partitioned(tx, params, PRETRAIN_PARTITIONS),
-    )
+
+    @jax.jit
+    def build(rng):
+        variables = model.init(rng, x, train=False)
+        params = dict(variables["params"])
+        return PretrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=dict(variables["batch_stats"]),
+            opt=init_partitioned(tx, params, PRETRAIN_PARTITIONS),
+        )
+
+    return build(rng)
 
 
 def make_pretrain_step(

@@ -65,6 +65,32 @@ def _stub_torchvision():
     transforms.ToTensor = _Stub
     transforms.ColorJitter = _Stub
     tf_functional = types.ModuleType("torchvision.transforms.functional")
+
+    # PIL-backed implementations matching torchvision's PIL backend
+    def _tv_rotate(img, angle, *a, **k):
+        return img.rotate(angle)
+
+    def _tv_crop(img, top, left, height, width):
+        return img.crop((left, top, left + width, top + height))
+
+    def _tv_hflip(img):
+        from PIL import Image as _Image
+
+        return img.transpose(_Image.FLIP_LEFT_RIGHT)
+
+    def _tv_resize(img, size, interpolation=2):
+        if isinstance(size, int):
+            w, h = img.size
+            if w <= h:
+                size = (int(size * h / w), size)  # (h, w)
+            else:
+                size = (size, int(size * w / h))
+        return img.resize((size[1], size[0]), interpolation)
+
+    tf_functional.rotate = _tv_rotate
+    tf_functional.crop = _tv_crop
+    tf_functional.hflip = _tv_hflip
+    tf_functional.resize = _tv_resize
     tf_transforms = types.ModuleType("torchvision.transforms.transforms")
     tf_transforms.ToTensor = _Stub
     tf_transforms.Normalize = _Stub
