@@ -89,6 +89,8 @@ class BatchLoader:
         prefetch: int = 4,
         raw: bool = False,
         raw_size: int = 288,
+        host_index: int = 0,
+        host_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -99,6 +101,10 @@ class BatchLoader:
         self.prefetch = prefetch
         self.raw = raw
         self.raw_size = raw_size
+        # multi-host data parallelism: every host sees the same shuffled
+        # order (seed is shared) and takes a disjoint stride of it
+        self.host_index = host_index
+        self.host_count = host_count
         self._epoch = 0
 
     def __len__(self):
@@ -111,6 +117,9 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.host_count > 1:
+            order = order[self.host_index :: self.host_count]
+            n = len(order)
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for i in range(0, end, self.batch_size):
             yield order[i : i + self.batch_size]

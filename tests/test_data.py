@@ -219,3 +219,20 @@ def test_raw_loader_and_device_train_batch(tmp_path):
     assert final["image"].shape == (4, 128, 128, 3)
     assert final["target"].shape == (4, 32, 32, 21)
     assert np.isfinite(np.asarray(final["image"])).all()
+
+
+def test_host_sharded_loader_disjoint(tmp_path):
+    root = _make_rhd_fixture(str(tmp_path))
+    ds = RenderedHandPose(root, split="train", transforms=T.val_transform())
+    loaders = [
+        BatchLoader(ds, batch_size=2, num_workers=1, seed=7,
+                    host_index=i, host_count=2, drop_last=False)
+        for i in range(2)
+    ]
+    seen = []
+    for ld in loaders:
+        idxs = [tuple(b) for b in ld._index_batches()]
+        ld._epoch += 1
+        seen.append({i for b in idxs for i in b})
+    assert seen[0].isdisjoint(seen[1])
+    assert len(seen[0] | seen[1]) == len(ds)
