@@ -12,12 +12,24 @@ BASELINE.json's bar is >=5x that per chip.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 REF_GPU_IMG_S = 120.0
+
+
+def _enable_compile_cache() -> None:
+    import jax
+
+    cache = os.environ.get("DAHPE_JAX_CACHE", "/tmp/dahpe_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
 
 def bench_train_step(batch: int = 32) -> None:
@@ -95,6 +107,7 @@ def main() -> None:
 
     from dahpe_tpu import models
 
+    _enable_compile_cache()
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         bench_train_step(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
         return

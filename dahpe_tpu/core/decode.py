@@ -48,6 +48,20 @@ def soft_argmax_decode(
     return jnp.stack([ex, ey], axis=-1) * scale
 
 
+def decode_uv_from_heatmaps(
+    heatmaps: jnp.ndarray, resize_dim: tuple[int, int]
+) -> jnp.ndarray:
+    """Bilinear-upsample to image resolution, then argmax → uv coordinates.
+
+    Equivalent of ``compute_uv_from_heatmaps{,2}``
+    (``utils/keypoint_detection.py:155-205``): ``(B, H, W, K)`` → ``(B, K, 2)``
+    in ``resize_dim`` pixel units.
+    """
+    up = upsample_bilinear(heatmaps, resize_dim)
+    preds, _ = get_max_preds(up)
+    return preds
+
+
 def upsample_bilinear(
     x: jnp.ndarray, out_hw: tuple[int, int]
 ) -> jnp.ndarray:
