@@ -8,6 +8,7 @@ an explicit dict.
 from dahpe_tpu.models.batch_norm import BatchNorm2d
 from dahpe_tpu.models.heads import DownsampleStage, FusionHead, PlainHead
 from dahpe_tpu.models.pose_resnet import MultiHeadPoseResNet, PoseResNet
+from dahpe_tpu.models.regda_baseline import RegDAPoseResNet
 from dahpe_tpu.models.resnet import (
     ResNet,
     resnet18,
@@ -54,6 +55,7 @@ __all__ = [
     "PlainHead",
     "MultiHeadPoseResNet",
     "PoseResNet",
+    "RegDAPoseResNet",
     "ResNet",
     "ConvTranspose2dTorch",
     "Upsampling",

@@ -28,6 +28,24 @@ from dahpe_tpu.core.losses import joints_kl_loss
 EPS = 1e-7  # the reference uses JointsKLLoss(epsilon=1e-7) for all three
 
 
+def rd_plain(
+    y: jnp.ndarray,
+    y_adv: jnp.ndarray,
+    weight: jnp.ndarray | None,
+    mode: str,
+    *,
+    epsilon: float = EPS,
+) -> jnp.ndarray:
+    """Original RegDA disparity (``regda_4.py:89-143``): GT from the peak
+    Gaussian, GF = clipped union of the OTHER joints' Gaussians."""
+    from dahpe_tpu.core.heatmap import gf_union_others
+
+    gt = pseudo_label_gt(jax.lax.stop_gradient(y), scale=1, window_factor=3.0)
+    if mode == "min":
+        return joints_kl_loss(y_adv, gt, weight, epsilon=epsilon)
+    return joints_kl_loss(y_adv, gf_union_others(gt), weight, epsilon=epsilon)
+
+
 def rd_64(
     y: jnp.ndarray,
     y_adv: jnp.ndarray,
