@@ -249,8 +249,8 @@ def main(args):
         )
         end = time.time()
         for i in range(args.iters_per_epoch):
-            state, metrics = step_fn(state, next_batch(source_iter),
-                                     next_batch(target_iter))
+            b_s, b_t = next_batch(source_iter), next_batch(target_iter)
+            state, metrics = step_fn(state, b_s, b_t)
             if i % args.print_freq == 0:
                 losses_s.update(float(metrics["loss_s"]))
                 losses_gf.update(float(metrics["loss_gf"]))
@@ -259,6 +259,14 @@ def main(args):
                 acc_t.update(float(metrics["acc_t"]))
                 batch_time.update(time.time() - end)
                 progress.display(i)
+                if visualize is not None:
+                    scale = args.image_size / args.heatmap_size
+                    pred_s = np.asarray(metrics["pred_s"])[0] * scale
+                    pred_t = np.asarray(metrics["pred_t"])[0] * scale
+                    visualize(np.asarray(b_s["image"][0]), pred_s,
+                              f"source_{i}_pred")
+                    visualize(np.asarray(b_t["image"][0]), pred_t,
+                              f"target_{i}_pred")
             end = time.time()
 
         src_acc = validate(val_source_loader, model, variables_of(state), val_source,

@@ -204,12 +204,13 @@ def make_da_train_step(
             "gl_coeff": lam,
         }
         if compute_metrics:
-            _, acc_s, _, _ = pck_accuracy(out_s["y"], label_s)
-            _, acc_t, _, _ = pck_accuracy(out_t["y"], label_t)
+            _, acc_s, _, pred_s = pck_accuracy(out_s["y"], label_s)
+            _, acc_t, _, pred_t = pck_accuracy(out_t["y"], label_t)
             _, acc_s_adv, _, _ = pck_accuracy(out_s["y_adv"], label_s)
             _, acc_t_adv, _, _ = pck_accuracy(out_t["y_adv"], label_t)
             metrics.update(
-                acc_s=acc_s, acc_t=acc_t, acc_s_adv=acc_s_adv, acc_t_adv=acc_t_adv
+                acc_s=acc_s, acc_t=acc_t, acc_s_adv=acc_s_adv, acc_t_adv=acc_t_adv,
+                pred_s=pred_s, pred_t=pred_t,
             )
 
         new_state = state.replace(
