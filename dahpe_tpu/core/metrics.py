@@ -87,6 +87,12 @@ def group_accuracy(
     return out
 
 
+def mean_joint_error_2d(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean per-joint 2D pixel error (``accuracy_2d``,
+    ``utils/keypoint_detection.py:128-136``)."""
+    return jnp.mean(jnp.linalg.norm(pred - target, axis=-1))
+
+
 def mean_joint_error_3d(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean per-joint 3D error in mm (inputs in meters), per ``accuracy_3d``.
 

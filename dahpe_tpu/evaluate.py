@@ -52,18 +52,35 @@ def validate(
     acc = AverageMeterDict(dataset.keypoints_group.keys(), ":3.2f")
     losses = AverageMeter("Loss", ":.2e")
 
+    full_batch = getattr(loader, "batch_size", None)
+
     for i, host_batch in enumerate(loader):
+        n_real = int(host_batch["image"].shape[0])
+        if full_batch is not None and n_real < full_batch:
+            # pad the trailing partial batch to a fixed shape so the jitted
+            # eval step compiles exactly once (a recompile costs minutes on
+            # remote TPU transports). Padded rows have all-zero targets whose
+            # peak coords fail the `> 1` validity filter, so they contribute
+            # nothing to PCK; the loss/meters are weighted by n_real.
+            pad = full_batch - n_real
+            import numpy as _np
+
+            host_batch = {
+                k: _np.concatenate(
+                    [v, _np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                )
+                for k, v in host_batch.items()
+            }
         batch = finalize_batch(
             host_batch,
             heatmap_size=(heatmap_size, heatmap_size),
             image_size=(image_size, image_size),
         )
         out = eval_step(variables, batch)
-        n = int(host_batch["image"].shape[0])
-        losses.update(float(out["loss"]), n)
+        losses.update(float(out["loss"]), n_real)
         acc_per_joint = jax.device_get(out["acc_per_joint"])
         group_acc = dataset.group_accuracy(list(acc_per_joint))
-        acc.update(group_acc, n)
+        acc.update(group_acc, n_real)
 
         if i % print_freq == 0:
             print(f"Test: [{i}/{len(loader)}]\t{losses}\tall {acc['all'].avg:.3f}")
