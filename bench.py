@@ -101,6 +101,47 @@ def bench_train_step(batch: int = 32) -> None:
     )
 
 
+def bench_data_pipeline(batch: int = 64, n_images: int = 256) -> None:
+    """Host input-pipeline throughput: decode+crop+resize (raw fast path)
+    through the threaded BatchLoader on a synthetic RHD fixture."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from fixtures import make_rhd_fixture
+
+    from dahpe_tpu.data import BatchLoader, RenderedHandPose
+
+    root = tempfile.mkdtemp(prefix="dahpe_bench_")
+    try:
+        make_rhd_fixture(root, n=n_images)
+        ds = RenderedHandPose(root, split="train", transforms=None)
+        loader = BatchLoader(
+            ds, batch_size=batch, num_workers=os.cpu_count() or 8, seed=0,
+            raw=True, drop_last=True,
+        )
+        # warm epoch (page cache), then timed epoch
+        for _ in loader:
+            pass
+        n = 0
+        t0 = time.perf_counter()
+        for b in loader:
+            n += b["image_u8"].shape[0]
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": "host_input_pipeline_images_per_sec",
+                    "value": round(n / dt, 1),
+                    "unit": "images/sec",
+                    "vs_baseline": None,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -108,6 +149,9 @@ def main() -> None:
     from dahpe_tpu import models
 
     _enable_compile_cache()
+    if len(sys.argv) > 1 and sys.argv[1] == "data":
+        bench_data_pipeline()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         bench_train_step(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
         return
