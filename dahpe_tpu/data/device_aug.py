@@ -19,11 +19,15 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+# plain numpy on purpose: a module-level jnp array would initialize the
+# device backend (and claim the TPU) on mere import
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def _affine_params(key, h: int, w: int, out_size: int, rotation: float,
