@@ -9,7 +9,7 @@ one jitted SPMD step over the device mesh.
 
 from __future__ import annotations
 
-import os
+import math
 import random
 import time
 
@@ -37,6 +37,13 @@ from dahpe_tpu.utils.meters import AverageMeter, ProgressMeter
 
 def variables_of(state):
     return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def iter_keys(key):
+    """Infinite stream of fresh PRNG keys."""
+    while True:
+        key, sub = jax.random.split(key)
+        yield sub
 
 
 def pretrain_phase(args, logger, train_source_loader, val_source_loader,
@@ -176,8 +183,6 @@ def main(args):
         return
 
     # --- DA training over the device mesh --------------------------------
-    import math
-
     n_dev = math.gcd(args.batch_size, len(jax.devices()))
     mesh = create_mesh(jax.devices()[:n_dev])
     if n_dev < len(jax.devices()):
@@ -207,17 +212,14 @@ def main(args):
             train_target, args.batch_size,
             num_workers=args.workers, seed=args.seed + 1, raw=True,
         )
-        aug_key = jax.random.key(args.seed)
-
     source_iter = ForeverIterator(lambda: iter(train_source_loader))
     target_iter = ForeverIterator(lambda: iter(train_target_loader))
+    aug_keys = iter_keys(jax.random.key(args.seed)) if args.device_aug else None
 
     def next_batch(it):
         if args.device_aug:
-            nonlocal_key = next_batch.key
-            next_batch.key, sub = jax.random.split(nonlocal_key)
             batch = device_train_batch(
-                next(it), sub,
+                next(it), next(aug_keys),
                 image_size=args.image_size, heatmap_size=args.heatmap_size,
                 rotation=args.rotation, scale_range=tuple(args.resize_scale),
             )
@@ -228,9 +230,6 @@ def main(args):
                 image_size=(args.image_size,) * 2,
             )
         return shard_batch(batch, mesh)
-
-    if args.device_aug:
-        next_batch.key = aug_key
 
     best_acc = float("-inf")
     print("Start regression domain adaptation.")

@@ -20,7 +20,6 @@ import threading
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from dahpe_tpu.core.heatmap import generate_target

@@ -9,7 +9,6 @@ jitted on device; only the tiny per-group dict returns to host.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from dahpe_tpu.core.losses import joints_kl_loss
 from dahpe_tpu.core.metrics import pck_accuracy

@@ -20,7 +20,6 @@ SPMD (batch sharded, params replicated; XLA inserts the psum for grads).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
