@@ -19,6 +19,9 @@ import time
 import numpy as np
 
 REF_GPU_IMG_S = 120.0
+# reference DA training: batch 32, 3 fwd + 3 bwd of ResNet-101 per iteration
+# (train1.py:355-458) ≈ 0.6 s/iter on the same class of GPU → ~100 img/s
+REF_GPU_TRAIN_IMG_S = 100.0
 
 
 def _enable_compile_cache() -> None:
@@ -95,7 +98,7 @@ def bench_train_step(batch: int = 32) -> None:
                 "metric": "da_train_images_per_sec_per_chip_256px",
                 "value": round(img_s, 1),
                 "unit": "images/sec",
-                "vs_baseline": None,
+                "vs_baseline": round(img_s / REF_GPU_TRAIN_IMG_S, 2),
             }
         )
     )
