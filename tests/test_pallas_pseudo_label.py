@@ -1,0 +1,52 @@
+"""Fused pseudo-label kernel vs the jnp reference path (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dahpe_tpu.core import heatmap as hm
+from dahpe_tpu.ops.pallas.pseudo_label import pseudo_labels_pallas
+
+
+def _peaks(rng, b=3, k=21, size=64):
+    return jnp.asarray(rng.integers(0, size, size=(b, k, 2)), jnp.int32)
+
+
+@pytest.mark.parametrize("gf_kind", ["union_minus", "inverse", "union_others"])
+def test_pseudo_labels_kernel_matches_jnp(gf_kind):
+    rng = np.random.default_rng(0)
+    size, reach = 64, 6
+    peaks = _peaks(rng, size=size)
+    gt_ref = hm.render_gaussian(peaks, size, size, sigma=2.0, reach=reach)
+    if gf_kind == "union_minus":
+        gf0 = hm.gf_union_minus(gt_ref)
+    elif gf_kind == "inverse":
+        gf0 = hm.gf_inverse(gt_ref)
+    else:
+        gf0 = hm.gf_union_others(gt_ref)
+    gf_ref = hm.fuse_and_normalize_gf(gf0, gt_ref, None)
+
+    gt, gf = pseudo_labels_pallas(
+        peaks, out_size=size, reach=reach, gf_kind=gf_kind, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref), atol=1e-6)
+
+
+def test_pseudo_labels_kernel_with_fused_target():
+    rng = np.random.default_rng(1)
+    size, reach = 32, 4
+    peaks = _peaks(rng, size=size)
+    fused = jnp.asarray(
+        rng.uniform(0, 1, size=(3, size, size, 21)).astype(np.float32)
+    )
+    gt_ref = hm.render_gaussian(peaks, size, size, sigma=2.0, reach=reach)
+    gf_ref = hm.fuse_and_normalize_gf(hm.gf_inverse(gt_ref), gt_ref, fused)
+
+    gt, gf = pseudo_labels_pallas(
+        peaks, fused, out_size=size, reach=reach, gf_kind="inverse",
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref), atol=1e-5)
