@@ -100,6 +100,7 @@ def make_da_train_step(
     gl_hi: float = 0.1,
     gl_max_iters: int = 1000,
     compute_metrics: bool = True,
+    use_pallas_labels: bool = False,
 ) -> Callable:
     """Build the jittable DA step: ``(state, batch_s, batch_t) -> (state, metrics)``.
 
@@ -130,8 +131,14 @@ def make_da_train_step(
             y = out["y"]
             loss = (
                 2.0 * joints_kl_loss(y, label_s, w_s)
-                + 4.0 * disparity.rd_32(y, out["y_adv2"], None, w_s, "min")
-                + 4.0 * disparity.rd_64(y, out["y_adv"], None, w_s, "min")
+                + 4.0 * disparity.rd_32(
+                    y, out["y_adv2"], None, w_s, "min",
+                    use_pallas=use_pallas_labels,
+                )
+                + 4.0 * disparity.rd_64(
+                    y, out["y_adv"], None, w_s, "min",
+                    use_pallas=use_pallas_labels,
+                )
                 + 4.0 * disparity.rd_16(y, out["y_adv3"], w_s, "min")
             )
             return loss, (bs, out)
@@ -159,8 +166,12 @@ def make_da_train_step(
             )
             t32 = upsample_bilinear(a3, hm_half)
             l1 = disparity.rd_16(y, out["y_adv3"], w_t, "max")
-            l2 = disparity.rd_64(y, out["y_adv"], t64, w_t, "max")
-            l3 = disparity.rd_32(y, out["y_adv2"], t32, w_t, "max")
+            l2 = disparity.rd_64(
+                y, out["y_adv"], t64, w_t, "max", use_pallas=use_pallas_labels
+            )
+            l3 = disparity.rd_32(
+                y, out["y_adv2"], t32, w_t, "max", use_pallas=use_pallas_labels
+            )
             return trade_off * (0.3 * l1 + 1.0 * l2 + 0.3 * l3), bs
 
         adv_params, frozen = split_params(params, adv_keys)
@@ -178,8 +189,12 @@ def make_da_train_step(
         def loss_c(f_params, frozen, batch_stats):
             out, bs = forward({**f_params, **frozen}, batch_stats, x_t, lam)
             y = out["y"]
-            l1 = disparity.rd_32(y, out["y_adv2"], None, w_t, "min")
-            l2 = disparity.rd_64(y, out["y_adv"], None, w_t, "min")
+            l1 = disparity.rd_32(
+                y, out["y_adv2"], None, w_t, "min", use_pallas=use_pallas_labels
+            )
+            l2 = disparity.rd_64(
+                y, out["y_adv"], None, w_t, "min", use_pallas=use_pallas_labels
+            )
             return trade_off * (0.3 * l1 + 1.0 * l2), (bs, out)
 
         f_params, frozen = split_params(params, f_keys)

@@ -46,23 +46,59 @@ def rd_plain(
     return joints_kl_loss(y_adv, gf_union_others(gt), weight, epsilon=epsilon)
 
 
+def _labels(
+    y: jnp.ndarray,
+    *,
+    scale: int,
+    window_factor: float,
+    gf_kind: str,
+    fused_target: jnp.ndarray | None,
+    mode: str,
+    use_pallas: bool,
+):
+    """(GT, GF) for a disparity loss, via the jnp path or the fused Pallas
+    kernel (``ops/pallas/pseudo_label.py``); both are numerically identical
+    (verified on TPU)."""
+    from dahpe_tpu.core.heatmap import peaks_from_heatmap
+
+    y = jax.lax.stop_gradient(y)
+    if use_pallas:
+        from dahpe_tpu.ops.pallas.pseudo_label import pseudo_labels_pallas
+
+        size = y.shape[1] // scale
+        peaks = peaks_from_heatmap(y) // scale
+        reach = int(2.0 * window_factor)  # sigma == 2 throughout
+        gt, gf = pseudo_labels_pallas(
+            peaks, fused_target, out_size=size, reach=reach, gf_kind=gf_kind
+        )
+        return gt, (gf if mode == "max" else None)
+    gt = pseudo_label_gt(y, scale=scale, window_factor=window_factor)
+    if mode == "min":
+        return gt, None
+    base = gf_union_minus(gt) if gf_kind == "union_minus" else gf_inverse(gt)
+    return gt, fuse_and_normalize_gf(base, gt, fused_target)
+
+
 def rd_64(
     y: jnp.ndarray,
     y_adv: jnp.ndarray,
     fused_target: jnp.ndarray | None,
     weight: jnp.ndarray | None,
     mode: str,
+    *,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """64x64 disparity (``RegressionDisparityx6``, ``regda_7.py:3609-3632``).
 
     GF = clip(clip(sum_k GT) - 10 GT) [+ fused target, -100 GT], then
     per-(sample, joint) max-normalized.
     """
-    gt = pseudo_label_gt(jax.lax.stop_gradient(y), scale=1, window_factor=3.0)
-    if mode == "min":
-        return joints_kl_loss(y_adv, gt, weight, epsilon=EPS)
-    gf = fuse_and_normalize_gf(gf_union_minus(gt), gt, fused_target)
-    return joints_kl_loss(y_adv, gf, weight, epsilon=EPS)
+    gt, gf = _labels(
+        y, scale=1, window_factor=3.0, gf_kind="union_minus",
+        fused_target=fused_target, mode=mode, use_pallas=use_pallas,
+    )
+    target = gt if mode == "min" else gf
+    return joints_kl_loss(y_adv, target, weight, epsilon=EPS)
 
 
 def rd_32(
@@ -71,17 +107,20 @@ def rd_32(
     fused_target: jnp.ndarray | None,
     weight: jnp.ndarray | None,
     mode: str,
+    *,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """32x32 disparity (``RegressionDisparityx5``, ``regda_7.py:3530-3561``).
 
     Peaks come from the 64x64 main heatmap, halved; GF = clip(1 - 10 GT)
     [+ fused target, -100 GT], max-normalized.
     """
-    gt = pseudo_label_gt(jax.lax.stop_gradient(y), scale=2, window_factor=2.0)
-    if mode == "min":
-        return joints_kl_loss(y_adv2, gt, weight, epsilon=EPS)
-    gf = fuse_and_normalize_gf(gf_inverse(gt), gt, fused_target)
-    return joints_kl_loss(y_adv2, gf, weight, epsilon=EPS)
+    gt, gf = _labels(
+        y, scale=2, window_factor=2.0, gf_kind="inverse",
+        fused_target=fused_target, mode=mode, use_pallas=use_pallas,
+    )
+    target = gt if mode == "min" else gf
+    return joints_kl_loss(y_adv2, target, weight, epsilon=EPS)
 
 
 def rd_16(

@@ -50,3 +50,36 @@ def test_pseudo_labels_kernel_with_fused_target():
     )
     np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref), atol=1e-5)
+
+
+def test_rd_losses_pallas_path_matches_jnp_interpret(monkeypatch):
+    """rd_64/rd_32 with use_pallas=True equal the jnp path (interpret mode
+    on CPU; real-TPU equality is checked by the kernel's own validation)."""
+    import functools
+
+    import jax
+
+    from dahpe_tpu.ops.pallas import pseudo_label as pk
+    from dahpe_tpu.train import disparity
+
+    orig = pk.pseudo_labels_pallas
+    monkeypatch.setattr(
+        pk, "pseudo_labels_pallas", functools.partial(orig, interpret=True)
+    )
+
+    rng = np.random.default_rng(2)
+    y = jnp.asarray(rng.standard_normal((2, 64, 64, 5)), jnp.float32)
+    y_adv = jnp.asarray(rng.standard_normal((2, 64, 64, 5)), jnp.float32)
+    y_adv2 = jnp.asarray(rng.standard_normal((2, 32, 32, 5)), jnp.float32)
+    fused64 = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 5)), jnp.float32)
+    fused32 = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 5)), jnp.float32)
+    w = jnp.ones((2, 5))
+
+    for mode, fused in (("min", None), ("max", fused64)):
+        a = disparity.rd_64(y, y_adv, fused, w, mode)
+        b = disparity.rd_64(y, y_adv, fused, w, mode, use_pallas=True)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+    for mode, fused in (("min", None), ("max", fused32)):
+        a = disparity.rd_32(y, y_adv2, fused, w, mode)
+        b = disparity.rd_32(y, y_adv2, fused, w, mode, use_pallas=True)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
