@@ -55,8 +55,8 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
         momentum=args.momentum, weight_decay=args.wd,
     )
     if args.imagenet_pth:
-        variables = ckpt.load_reference_pth(
-            args.imagenet_pth, variables_of(state), strict=False
+        variables = ckpt.load_imagenet_backbone(
+            args.imagenet_pth, variables_of(state)
         )
         state = state.replace(
             params=dict(variables["params"]),

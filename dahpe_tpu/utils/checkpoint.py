@@ -50,6 +50,30 @@ def save_reference_pth(path: str, variables) -> None:
     torch.save({"model": {k: torch.from_numpy(v.copy()) for k, v in state.items()}}, path)
 
 
+def load_imagenet_backbone(path: str, template_variables):
+    """Load a torchvision ImageNet ``.pth`` into the model's backbone.
+
+    torchvision files are bare state dicts keyed ``conv1.weight / layer1...``
+    with a classifier head (``fc.*``) our headless backbone lacks; keys are
+    prefixed onto ``backbone.`` and merged key-filtered, reproducing the
+    reference's pretrained-backbone load (``uda/model/resnet.py:50-59``).
+    """
+    from dahpe_tpu.utils.torch_import import (
+        filtered_update,
+        import_torch_state_dict,
+        load_pth,
+    )
+
+    state_dict = load_pth(path, key=None)
+    state_dict = {
+        "backbone." + k: v
+        for k, v in state_dict.items()
+        if not k.startswith("fc.")
+    }
+    imported = import_torch_state_dict(state_dict)
+    return filtered_update(dict(template_variables), imported)
+
+
 def load_reference_pth(path: str, template_variables, *, strict: bool = False):
     """Load a reference .pth into Flax variables.
 

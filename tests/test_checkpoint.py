@@ -64,3 +64,37 @@ def test_model_variables_round_trip(tmp_path):
         jax.tree.leaves(state.params), jax.tree.leaves(loaded["params"])
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_imagenet_backbone(tmp_path):
+    """A torchvision-keyed ImageNet file (no 'backbone.' prefix, with fc.*)
+    loads into the backbone and changes only backbone leaves."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracles import OracleResNet
+
+    tnet = OracleResNet([1, 1, 1, 1])
+    g = torch.Generator().manual_seed(3)
+    with torch.no_grad():
+        for p in tnet.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    state_dict = tnet.state_dict()
+    # torchvision files carry the classifier our headless net lacks
+    state_dict["fc.weight"] = torch.zeros(1000, 2048)
+    state_dict["fc.bias"] = torch.zeros(1000)
+    path = str(tmp_path / "imagenet.pth")
+    torch.save(state_dict, path)
+
+    model = tiny_model(k=4)
+    state = create_da_state(model, jax.random.key(0), image_size=64)
+    variables = ckpt.load_imagenet_backbone(
+        path, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    # backbone conv1 now equals the torch weights
+    got = np.asarray(variables["params"]["backbone"]["conv1"]["kernel"])
+    want = state_dict["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, atol=0)
+    # heads untouched
+    a = jax.tree.leaves(state.params["head"])
+    b = jax.tree.leaves(variables["params"]["head"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
