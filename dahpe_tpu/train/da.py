@@ -106,6 +106,12 @@ def make_da_train_step(
 
     Batches are dicts with ``image (B,H,W,3)``, ``target (B,64,64,K)``,
     ``weight (B,K)``.
+
+    ``use_pallas_labels`` routes pseudo-label construction through the fused
+    Pallas kernel — single-device only for now: a ``pallas_call`` is not
+    auto-partitioned by GSPMD, so under the data mesh
+    (``make_parallel_da_step``) keep the default jnp path (numerically
+    identical) or wrap the step in ``shard_map`` first.
     """
     tx = torch_sgd(momentum=momentum, weight_decay=weight_decay)
 
@@ -139,7 +145,9 @@ def make_da_train_step(
                     y, out["y_adv"], None, w_s, "min",
                     use_pallas=use_pallas_labels,
                 )
-                + 4.0 * disparity.rd_16(y, out["y_adv3"], w_s, "min")
+                + 4.0 * disparity.rd_16(
+                    y, out["y_adv3"], w_s, "min", use_pallas=use_pallas_labels
+                )
             )
             return loss, (bs, out)
 
@@ -165,7 +173,9 @@ def make_da_train_step(
                 a2, hm_full
             )
             t32 = upsample_bilinear(a3, hm_half)
-            l1 = disparity.rd_16(y, out["y_adv3"], w_t, "max")
+            l1 = disparity.rd_16(
+                y, out["y_adv3"], w_t, "max", use_pallas=use_pallas_labels
+            )
             l2 = disparity.rd_64(
                 y, out["y_adv"], t64, w_t, "max", use_pallas=use_pallas_labels
             )

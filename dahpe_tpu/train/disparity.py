@@ -128,12 +128,25 @@ def rd_16(
     y_adv3: jnp.ndarray,
     weight: jnp.ndarray | None,
     mode: str,
+    *,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """16x16 disparity (``RegressionDisparityx1``, ``regda_7.py:3251-3268``).
 
     Peaks from the 64x64 main heatmap, quartered; GF = clip(1 - 10 GT), no
     fusion and no max-normalization at this scale.
     """
+    if use_pallas:
+        from dahpe_tpu.core.heatmap import peaks_from_heatmap
+        from dahpe_tpu.ops.pallas.pseudo_label import pseudo_labels_pallas
+
+        peaks = peaks_from_heatmap(jax.lax.stop_gradient(y)) // 4
+        gt, gf = pseudo_labels_pallas(
+            peaks, out_size=y.shape[1] // 4, reach=3, gf_kind="inverse",
+            normalize=False,
+        )
+        target = gt if mode == "min" else gf
+        return joints_kl_loss(y_adv3, target, weight, epsilon=EPS)
     gt = pseudo_label_gt(jax.lax.stop_gradient(y), scale=4, window_factor=1.5)
     if mode == "min":
         return joints_kl_loss(y_adv3, gt, weight, epsilon=EPS)

@@ -83,3 +83,23 @@ def test_rd_losses_pallas_path_matches_jnp_interpret(monkeypatch):
         a = disparity.rd_32(y, y_adv2, fused, w, mode)
         b = disparity.rd_32(y, y_adv2, fused, w, mode, use_pallas=True)
         np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_rd_16_pallas_path_matches_jnp_interpret(monkeypatch):
+    import functools
+
+    from dahpe_tpu.ops.pallas import pseudo_label as pk
+    from dahpe_tpu.train import disparity
+
+    monkeypatch.setattr(
+        pk, "pseudo_labels_pallas",
+        functools.partial(pk.pseudo_labels_pallas, interpret=True),
+    )
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.standard_normal((2, 64, 64, 5)), jnp.float32)
+    y_adv3 = jnp.asarray(rng.standard_normal((2, 16, 16, 5)), jnp.float32)
+    w = jnp.ones((2, 5))
+    for mode in ("min", "max"):
+        a = disparity.rd_16(y, y_adv3, w, mode)
+        b = disparity.rd_16(y, y_adv3, w, mode, use_pallas=True)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
