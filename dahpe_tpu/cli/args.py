@@ -55,6 +55,10 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                              "commented out, train1.py:461)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute dtype (fp32 params)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() so the mesh "
+                             "spans all hosts; each host loads a disjoint "
+                             "data shard")
     parser.add_argument("--device-aug", action="store_true",
                         help="fast path: host threads only decode+crop, all "
                              "augmentation (fused affine warp, jitter, blur, "

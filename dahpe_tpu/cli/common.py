@@ -49,19 +49,30 @@ def build_datasets(args):
 
 
 def build_loaders(args, train_source, val_source, train_target, val_target):
-    mk = lambda ds, shuffle, drop: BatchLoader(
-        ds,
-        args.batch_size,
-        shuffle=shuffle,
-        drop_last=drop,
-        num_workers=args.workers,
-        seed=args.seed,
-    )
+    import jax
+
+    # under multi-host DP every process loads a disjoint shard of each epoch
+    # and its share of the global batch
+    n_proc = jax.process_count()
+    per_host_batch = max(1, args.batch_size // n_proc)
+
+    def mk(ds, shuffle, drop, shard):
+        return BatchLoader(
+            ds,
+            per_host_batch if shard else args.batch_size,
+            shuffle=shuffle,
+            drop_last=drop,
+            num_workers=args.workers,
+            seed=args.seed,
+            host_index=jax.process_index() if shard else 0,
+            host_count=n_proc if shard else 1,
+        )
+
     return (
-        mk(train_source, True, True),
-        mk(val_source, False, False),
-        mk(train_target, True, True),
-        mk(val_target, False, False),
+        mk(train_source, True, True, True),
+        mk(val_source, False, False, False),
+        mk(train_target, True, True, True),
+        mk(val_target, False, False, False),
     )
 
 

@@ -110,6 +110,8 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
 
 
 def main(args):
+    if getattr(args, "multihost", False):
+        jax.distributed.initialize()
     logger = RunLogger(args.log, args.phase)
     print(args)
     random.seed(args.seed)
