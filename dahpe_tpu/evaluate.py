@@ -34,6 +34,27 @@ def make_eval_step(model):
     return eval_step
 
 
+def make_predict_fn(model, *, image_size: int = 256, heatmap_size: int = 64):
+    """Serving entry: images → keypoint coordinates, one fused XLA program.
+
+    Returns a jitted ``(variables, images (B,H,W,3)) -> (coords (B,K,2),
+    maxvals (B,K,1))`` with coordinates in IMAGE pixels (heatmap argmax
+    scaled by the stride, the reference's deployment decode).
+    """
+    from dahpe_tpu.core.decode import get_max_preds
+
+    scale = image_size / heatmap_size
+
+    @jax.jit
+    def predict(variables, images):
+        out = model.apply(variables, images, train=False, gl_coeff=0.0)
+        y = out["y"] if isinstance(out, dict) else out
+        preds, maxvals = get_max_preds(y)
+        return preds * scale, maxvals
+
+    return predict
+
+
 def validate(
     loader,
     model,

@@ -33,3 +33,17 @@ def test_backbone_variants_forward(name, blocks):
     v = jax.jit(lambda r: backbone.init(r, x, train=False))(jax.random.key(0))
     out = backbone.apply(v, x, train=False)
     assert out.shape == (1, 2, 2, backbone.out_features)
+
+
+def test_predict_fn_fused_decode():
+    from dahpe_tpu.evaluate import make_predict_fn
+
+    backbone = models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1])
+    model = models.MultiHeadPoseResNet(backbone=backbone, num_keypoints=5)
+    x = jnp.zeros((2, 64, 64, 3))
+    v = jax.jit(lambda r: model.init(r, x, train=False))(jax.random.key(0))
+    predict = make_predict_fn(model, image_size=64, heatmap_size=16)
+    coords, maxvals = predict(v, x)
+    assert coords.shape == (2, 5, 2)
+    assert maxvals.shape == (2, 5, 1)
+    assert float(coords.max()) <= 64.0
