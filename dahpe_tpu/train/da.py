@@ -111,7 +111,10 @@ def make_da_train_step(
     Pallas kernel — single-device only for now: a ``pallas_call`` is not
     auto-partitioned by GSPMD, so under the data mesh
     (``make_parallel_da_step``) keep the default jnp path (numerically
-    identical) or wrap the step in ``shard_map`` first.
+    identical) or wrap the step in ``shard_map`` first. Measured on a v5e
+    chip (resnet101, bf16, batch 32): 68.3 ms/iter jnp vs 71.3 ms/iter
+    pallas — the label math is a tiny fraction of the step and XLA's fusion
+    of the jnp form is already optimal, so jnp stays the default.
     """
     tx = torch_sgd(momentum=momentum, weight_decay=weight_decay)
 
