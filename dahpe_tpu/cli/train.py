@@ -285,6 +285,15 @@ def main(args):
                 logger.get_checkpoint_path("model_ema"),
                 {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
             )
+            # validate2 counterpart (train1.py:243,270): evaluate the EMA twin
+            ema_acc = validate(
+                val_target_loader, model,
+                {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+                val_target, image_size=args.image_size,
+                heatmap_size=args.heatmap_size, print_freq=args.print_freq,
+                eval_step=eval_step,
+            )
+            print(f"ema: {ema_acc['all']:4.3f}")
         if tgt_acc["all"] > best_acc:
             best_acc = tgt_acc["all"]
             ckpt.save_state(logger.get_checkpoint_path("best"), state)
