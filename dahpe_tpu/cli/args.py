@@ -60,9 +60,13 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                              "spans all hosts; each host loads a disjoint "
                              "data shard")
     parser.add_argument("--device-aug", action="store_true",
-                        help="fast path: host threads only decode+crop, all "
-                             "augmentation (fused affine warp, jitter, blur, "
-                             "normalize) runs batched on the TPU")
+                        help="host threads only decode+crop; all augmentation "
+                             "(fused affine warp, jitter, blur, normalize) "
+                             "runs batched on the TPU")
+    parser.add_argument("--host-warp", action="store_true",
+                        help="fast path: fused C++ augmentation on the host "
+                             "(one resample for rotate+crop+resize + jitter + "
+                             "blur + normalize), Gaussian targets on device")
     if phase == "test":
         parser.add_argument("--checkpoint", type=str, required=True,
                             help="checkpoint to evaluate (orbax dir or .pth)")

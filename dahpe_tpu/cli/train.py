@@ -201,8 +201,8 @@ def main(args):
     state = replicate(state, mesh)
 
     if args.device_aug:
-        # fast path: host threads only decode+crop+canonical-resize; the
-        # geometric+photometric augmentation runs fused on device
+        # host threads only decode+crop+canonical-resize; the geometric +
+        # photometric augmentation runs fused on device
         from dahpe_tpu.data import BatchLoader
         from dahpe_tpu.data.pipeline import device_train_batch
 
@@ -213,6 +213,18 @@ def main(args):
         train_target_loader = BatchLoader(
             train_target, args.batch_size,
             num_workers=args.workers, seed=args.seed + 1, raw=True,
+        )
+    elif args.host_warp:
+        # fused C++ host augmentation; output plugs into finalize_batch
+        from dahpe_tpu.data import BatchLoader
+
+        train_source_loader = BatchLoader(
+            train_source, args.batch_size, num_workers=args.workers,
+            seed=args.seed, warped=True, image_size=args.image_size,
+        )
+        train_target_loader = BatchLoader(
+            train_target, args.batch_size, num_workers=args.workers,
+            seed=args.seed + 1, warped=True, image_size=args.image_size,
         )
     source_iter = ForeverIterator(lambda: iter(train_source_loader))
     target_iter = ForeverIterator(lambda: iter(train_target_loader))

@@ -47,6 +47,66 @@ class KeypointDataset:
         """Load and transform one sample with an explicit RNG (thread-safe)."""
         raise NotImplementedError
 
+    def _crop_raw(self, index: int):
+        """Decode + dataset-specific crop; returns
+        ``(PIL image, keypoint2d, intrinsic_matrix, visible)``."""
+        raise NotImplementedError
+
+    def fetch_raw(self, index: int, rng: np.random.Generator, raw_size: int = 288) -> dict:
+        """Fast-path fetch: decode + crop + ONE canonical resize to uint8;
+        augmentation happens on device (:mod:`dahpe_tpu.data.device_aug`)."""
+        from dahpe_tpu.data import transforms as T
+
+        image, keypoint2d, intrinsic_matrix, visible = self._crop_raw(index)
+        image, keypoint2d, intrinsic_matrix = T.resize(
+            image, raw_size, keypoint2d, intrinsic_matrix
+        )
+        return {
+            "image_u8": np.asarray(image, dtype=np.uint8),
+            "keypoint2d": keypoint2d.astype(np.float32),
+            "visible": visible,
+            "intrinsic_matrix": intrinsic_matrix.astype(np.float32),
+        }
+
+    def fetch_warped(
+        self,
+        index: int,
+        rng: np.random.Generator,
+        *,
+        image_size: int = 256,
+        rotation: float = 180.0,
+        scale_range=(0.6, 1.3),
+        jitter: float = 0.25,
+        blur: float = 0.8,
+    ) -> dict:
+        """Host fast path: decode + crop + ONE fused C++ affine warp
+        (rotation + random-resized-crop + resize in a single resample via
+        ``native/dahpe_native.cpp``) + numpy photometrics + normalize.
+
+        The recommended production split on TPU: geometry on the host SIMD
+        core, Gaussian target rendering on device (``finalize_batch``).
+        """
+        from dahpe_tpu.data.host_warp import warp_augment
+
+        image, keypoint2d, intrinsic_matrix, visible = self._crop_raw(index)
+        img, kp, intr = warp_augment(
+            np.asarray(image, dtype=np.uint8),
+            keypoint2d.astype(np.float32),
+            intrinsic_matrix.astype(np.float32),
+            rng,
+            out_size=image_size,
+            rotation=rotation,
+            scale_range=tuple(scale_range),
+            jitter=jitter,
+            blur=blur,
+        )
+        return {
+            "image": img,
+            "keypoint2d": kp,
+            "visible": visible,
+            "intrinsic_matrix": intr,
+        }
+
     def __getitem__(self, index: int) -> dict:
         return self.fetch(index, np.random.default_rng(index))
 

@@ -79,23 +79,14 @@ class Hand3DStudio(Hand21KeypointDataset):
         return out
 
 
-    def fetch_raw(self, index: int, rng: np.random.Generator, raw_size: int = 288):
-        """Fast-path fetch (H3D images are pre-cropped; one resize only)."""
-        from dahpe_tpu.data import transforms as T
-
+    def _crop_raw(self, index: int):
+        """H3D images are pre-cropped; no geometry on the host."""
         sample = self.samples[index]
         image = Image.open(os.path.join(self.root, sample["name"]))
         keypoint2d = np.array(sample["keypoint2d"])
         intrinsic_matrix = np.array(sample["intrinsic_matrix"], np.float32)
-        image, keypoint2d, intrinsic_matrix = T.resize(
-            image, raw_size, keypoint2d, intrinsic_matrix
-        )
-        return {
-            "image_u8": np.asarray(image, dtype=np.uint8),
-            "keypoint2d": keypoint2d.astype(np.float32),
-            "visible": np.ones((self.num_keypoints,), np.float32),
-            "intrinsic_matrix": intrinsic_matrix,
-        }
+        visible = np.ones((self.num_keypoints,), np.float32)
+        return image, keypoint2d, intrinsic_matrix, visible
 
 
 class Hand3DStudioAll(Hand3DStudio):

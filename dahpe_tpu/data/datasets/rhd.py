@@ -130,10 +130,8 @@ class RenderedHandPose(Hand21KeypointDataset):
             "image_path": image_path,
         }
 
-    def fetch_raw(self, index: int, rng: np.random.Generator, raw_size: int = 288):
-        """Fast-path fetch: decode + crop + flip + ONE canonical resize to
-        ``raw_size`` uint8; all augmentation happens on device
-        (:mod:`dahpe_tpu.data.device_aug`)."""
+    def _crop_raw(self, index: int):
+        """Decode + square crop + flip; returns the native-size uint8 crop."""
         sample = self.samples[index]
         image = Image.open(os.path.join(self.root, sample["name"]))
         keypoint2d = np.array(sample["keypoint2d"])
@@ -146,12 +144,5 @@ class RenderedHandPose(Hand21KeypointDataset):
         )
         if sample["left"] is False:
             image, keypoint2d = T.hflip(image, keypoint2d)
-        image, keypoint2d, intrinsic_matrix = T.resize(
-            image, raw_size, keypoint2d, intrinsic_matrix
-        )
-        return {
-            "image_u8": np.asarray(image, dtype=np.uint8),
-            "keypoint2d": keypoint2d.astype(np.float32),
-            "visible": np.array(sample["visible"], dtype=np.float32),
-            "intrinsic_matrix": intrinsic_matrix,
-        }
+        visible = np.array(sample["visible"], dtype=np.float32)
+        return image, keypoint2d, intrinsic_matrix, visible

@@ -165,8 +165,8 @@ class STB(Hand21KeypointDataset):
             out["image_ema"] = np.asarray(data["image_ema"], dtype=np.float32)
         return out
 
-    def fetch_raw(self, index: int, rng: np.random.Generator, raw_size: int = 288):
-        """Fast-path fetch: decode + 1.6x crop + ONE canonical resize."""
+    def _crop_raw(self, index: int):
+        """Decode + 1.6x square crop around the palm2wrist0 box."""
         sample = self.samples[index]
         image = Image.open(os.path.join(self.root, sample["name"]))
         keypoint2d = np.array(sample["keypoint2d"])
@@ -178,12 +178,5 @@ class STB(Hand21KeypointDataset):
         image, keypoint2d = T.crop(
             image, upper, left, lower - upper, right - left, keypoint2d
         )
-        image, keypoint2d, intrinsic_matrix = T.resize(
-            image, raw_size, keypoint2d, intrinsic_matrix
-        )
-        return {
-            "image_u8": np.asarray(image, dtype=np.uint8),
-            "keypoint2d": keypoint2d.astype(np.float32),
-            "visible": np.ones((self.num_keypoints,), np.float32),
-            "intrinsic_matrix": intrinsic_matrix,
-        }
+        visible = np.ones((self.num_keypoints,), np.float32)
+        return image, keypoint2d, intrinsic_matrix, visible

@@ -88,6 +88,8 @@ class BatchLoader:
         prefetch: int = 4,
         raw: bool = False,
         raw_size: int = 288,
+        warped: bool = False,
+        image_size: int = 256,
         host_index: int = 0,
         host_count: int = 1,
     ):
@@ -100,6 +102,8 @@ class BatchLoader:
         self.prefetch = prefetch
         self.raw = raw
         self.raw_size = raw_size
+        self.warped = warped
+        self.image_size = image_size
         # multi-host data parallelism: every host sees the same shuffled
         # order (seed is shared) and takes a disjoint stride of it
         self.host_index = host_index
@@ -148,7 +152,14 @@ class BatchLoader:
                     bi, idxs = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                if self.raw:
+                if self.warped:
+                    items = [
+                        self.dataset.fetch_warped(
+                            int(i), rng, image_size=self.image_size
+                        )
+                        for i in idxs
+                    ]
+                elif self.raw:
                     items = [
                         self.dataset.fetch_raw(int(i), rng, self.raw_size)
                         for i in idxs

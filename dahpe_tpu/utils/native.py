@@ -61,6 +61,10 @@ def _load():
     lib.calc_dists_f32.argtypes = [
         f32p, f32p, f32p, ctypes.c_int, ctypes.c_int, f32p
     ]
+    lib.augment_u8_f32.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, f32p, f32p, i32p, f32p,
+        ctypes.c_int, ctypes.c_float, f32p, ctypes.c_int, f32p, f32p, f32p,
+    ]
     _lib = lib
     return _lib
 
@@ -140,6 +144,45 @@ def resize_norm(src: np.ndarray, out: int) -> np.ndarray:
     mat = np.asarray([[w / out, 0.0], [0.0, h / out]], np.float32)
     off = np.zeros(2, np.float32)
     return affine_warp(src, mat, off, (out, out), border_mode=1)
+
+
+def fused_augment(
+    src: np.ndarray,
+    mat: np.ndarray,
+    off: np.ndarray,
+    out_size: int,
+    jitter_ops: np.ndarray,
+    jitter_factors: np.ndarray,
+    blur_sigma: float,
+    mean: np.ndarray = IMAGENET_MEAN,
+    std: np.ndarray = IMAGENET_STD,
+) -> np.ndarray | None:
+    """Fully fused C++ augmentation: warp → jitter → blur → normalize.
+
+    Returns None when the native library is unavailable (callers fall back
+    to the numpy pipeline).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.uint8)
+    h, w, _ = src.shape
+    mat = np.ascontiguousarray(mat, np.float32)
+    off = np.ascontiguousarray(off, np.float32)
+    ops = np.ascontiguousarray(jitter_ops, np.int32)
+    factors = np.ascontiguousarray(jitter_factors, np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    dst = np.empty((out_size, out_size, 3), np.float32)
+    tmp = np.empty((out_size, out_size, 3), np.float32)
+    lib.augment_u8_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, _fp(mat), _fp(off),
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _fp(factors),
+        int(len(ops)), ctypes.c_float(blur_sigma), _fp(dst), out_size,
+        _fp(mean), _fp(std), _fp(tmp),
+    )
+    return dst
 
 
 def render_gaussian(

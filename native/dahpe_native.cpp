@@ -118,3 +118,95 @@ void calc_dists_f32(const float* preds, const float* target,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fully fused train-time augmentation for one image:
+// affine warp (raw pixels) -> color jitter (ops in given order) ->
+// separable 5-tap Gaussian blur -> ImageNet normalize.
+// jitter_ops: op ids (0=brightness, 1=contrast, 2=saturation), n_jitter of
+// them, each with jitter_factors[i]. blur_sigma <= 0 disables blur.
+void augment_u8_f32(const uint8_t* src, int h, int w,
+                    const float* mat, const float* off,
+                    const int32_t* jitter_ops, const float* jitter_factors,
+                    int n_jitter, float blur_sigma,
+                    float* dst, int out, const float* mean,
+                    const float* stddev, float* tmp /* out*out*3 scratch */) {
+  const float raw_mean[3] = {0.f, 0.f, 0.f};
+  const float raw_std[3] = {1.f / 255.f, 1.f / 255.f, 1.f / 255.f};
+  affine_warp_u8_f32(src, h, w, mat, off, tmp, out, out, raw_mean, raw_std, 0);
+  const int64_t n = (int64_t)out * out;
+
+  for (int t = 0; t < n_jitter; ++t) {
+    const float f = jitter_factors[t];
+    const float g = 1.0f - f;
+    switch (jitter_ops[t]) {
+      case 0:  // brightness
+        for (int64_t i = 0; i < n * 3; ++i)
+          tmp[i] = std::min(std::max(tmp[i] * f, 0.f), 255.f);
+        break;
+      case 1: {  // contrast: blend with mean gray
+        double acc = 0.0;
+        for (int64_t i = 0; i < n; ++i)
+          acc += 0.299f * tmp[i * 3] + 0.587f * tmp[i * 3 + 1] +
+                 0.114f * tmp[i * 3 + 2];
+        const float gray = (float)(acc / n) * g;
+        for (int64_t i = 0; i < n * 3; ++i)
+          tmp[i] = std::min(std::max(tmp[i] * f + gray, 0.f), 255.f);
+        break;
+      }
+      case 2:  // saturation: blend with per-pixel gray
+        for (int64_t i = 0; i < n; ++i) {
+          const float gray = (0.299f * tmp[i * 3] + 0.587f * tmp[i * 3 + 1] +
+                              0.114f * tmp[i * 3 + 2]) * g;
+          for (int c = 0; c < 3; ++c)
+            tmp[i * 3 + c] =
+                std::min(std::max(tmp[i * 3 + c] * f + gray, 0.f), 255.f);
+        }
+        break;
+    }
+  }
+
+  if (blur_sigma > 1e-2f) {
+    const int r = 2;
+    float k[2 * r + 1];
+    float ksum = 0.f;
+    for (int t = -r; t <= r; ++t) {
+      k[t + r] = std::exp(-(float)(t * t) /
+                          (2.f * std::max(blur_sigma, 1e-3f) *
+                           std::max(blur_sigma, 1e-3f)));
+      ksum += k[t + r];
+    }
+    for (int t = 0; t < 2 * r + 1; ++t) k[t] /= ksum;
+    // horizontal pass tmp -> dst (edge clamped)
+    for (int y = 0; y < out; ++y)
+      for (int x = 0; x < out; ++x)
+        for (int c = 0; c < 3; ++c) {
+          float acc = 0.f;
+          for (int t = -r; t <= r; ++t) {
+            const int xx = std::min(std::max(x + t, 0), out - 1);
+            acc += k[t + r] * tmp[((int64_t)y * out + xx) * 3 + c];
+          }
+          dst[((int64_t)y * out + x) * 3 + c] = acc;
+        }
+    // vertical pass dst -> tmp
+    for (int y = 0; y < out; ++y)
+      for (int x = 0; x < out; ++x)
+        for (int c = 0; c < 3; ++c) {
+          float acc = 0.f;
+          for (int t = -r; t <= r; ++t) {
+            const int yy = std::min(std::max(y + t, 0), out - 1);
+            acc += k[t + r] * dst[((int64_t)yy * out + x) * 3 + c];
+          }
+          tmp[((int64_t)y * out + x) * 3 + c] = acc;
+        }
+  }
+
+  const float inv_std[3] = {1.f / stddev[0], 1.f / stddev[1], 1.f / stddev[2]};
+  for (int64_t i = 0; i < n; ++i)
+    for (int c = 0; c < 3; ++c)
+      dst[i * 3 + c] =
+          (tmp[i * 3 + c] * (1.f / 255.f) - mean[c]) * inv_std[c];
+}
+
+}  // extern "C"

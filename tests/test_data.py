@@ -236,3 +236,36 @@ def test_host_sharded_loader_disjoint(tmp_path):
         seen.append({i for b in idxs for i in b})
     assert seen[0].isdisjoint(seen[1])
     assert len(seen[0] | seen[1]) == len(ds)
+
+
+def test_warped_loader_host_cpp_path(tmp_path):
+    """Host C++ fused-warp path: fixed-size normalized output, keypoints
+    track the warp (bright-dot test), plugs into finalize_batch."""
+    root = _make_rhd_fixture(str(tmp_path))
+    ds = RenderedHandPose(root, split="train", transforms=None)
+    loader = BatchLoader(ds, batch_size=4, num_workers=2, seed=0,
+                         warped=True, image_size=128)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (4, 128, 128, 3)
+    assert np.isfinite(batch["image"]).all()
+    final = finalize_batch(batch, heatmap_size=(32, 32), image_size=(128, 128))
+    assert final["target"].shape == (4, 32, 32, 21)
+
+
+def test_host_warp_keypoints_track_pixels():
+    from dahpe_tpu.data.host_warp import warp_augment
+    from dahpe_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.default_rng(4)
+    img = np.zeros((96, 96, 3), np.uint8)
+    kp = np.asarray([[48.0, 32.0]], np.float32)
+    img[30:35, 46:51] = 255
+    out, kp2, _ = warp_augment(
+        img, kp, np.eye(3, dtype=np.float32), rng,
+        out_size=64, rotation=45.0, scale_range=(0.8, 1.0),
+        jitter=0.0, blur=0.0,
+    )
+    un = out * IMAGENET_STD + IMAGENET_MEAN
+    py, px = np.unravel_index(np.argmax(un.sum(-1)), un.shape[:2])
+    if 0 <= kp2[0, 0] < 64 and 0 <= kp2[0, 1] < 64:
+        assert abs(px - kp2[0, 0]) <= 2.5 and abs(py - kp2[0, 1]) <= 2.5

@@ -68,3 +68,28 @@ def test_resize_norm_matches_device_path(lib_available):
         out_size=64,
     )
     np.testing.assert_allclose(got, np.asarray(ref[0]), rtol=1e-3, atol=2e-3)
+
+
+def test_fused_augment_matches_numpy_fallback(lib_available):
+    import numpy as np
+
+    from dahpe_tpu.data import host_warp
+
+    rng_a = np.random.default_rng(9)
+    rng_b = np.random.default_rng(9)
+    src = np.random.default_rng(1).integers(0, 255, (120, 130, 3), dtype=np.uint8)
+    kp = np.random.default_rng(2).uniform(0, 120, (21, 2)).astype(np.float32)
+    intr = np.eye(3, dtype=np.float32)
+
+    a_img, a_kp, a_intr = host_warp.warp_augment(src, kp, intr, rng_a, out_size=64)
+
+    lib, native._lib = native._lib, None  # force numpy fallback
+    try:
+        b_img, b_kp, b_intr = host_warp.warp_augment(
+            src, kp, intr, rng_b, out_size=64
+        )
+    finally:
+        native._lib = lib
+    np.testing.assert_allclose(a_img, b_img, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(a_kp, b_kp, rtol=1e-5)
+    np.testing.assert_allclose(a_intr, b_intr, rtol=1e-6)
