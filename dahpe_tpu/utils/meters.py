@@ -1,66 +1,80 @@
-"""Console progress meters (host-side), mirroring ``utils/meter.py``."""
+"""Host-side console metering.
+
+Covers the same role as the reference's meter module (``utils/meter.py``):
+running averages for losses/accuracies/timings and a per-iteration progress
+line. Implemented in this project's idiom — dataclasses + format-specs —
+with identical display semantics so log output stays comparable.
+"""
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, Mapping, Sequence
 
+
+@dataclass
 class AverageMeter:
-    """Running average with formatted display (``utils/meter.py:4-40``)."""
+    """Streaming weighted mean of a scalar, with a formatted one-line view.
 
-    def __init__(self, name: str, fmt: str = ":f"):
-        self.name = name
-        self.fmt = fmt
-        self.reset()
+    ``fmt`` is a ``str.format`` spec for the value, given with its leading
+    colon (e.g. ``":4.2f"``) to match the call sites' convention.
+    """
 
-    def reset(self):
+    name: str
+    fmt: str = ":f"
+    val: float = field(default=0.0, init=False)
+    sum: float = field(default=0.0, init=False)
+    count: int = field(default=0, init=False)
+
+    def reset(self) -> None:
         self.val = 0.0
-        self.avg = 0.0
         self.sum = 0.0
         self.count = 0
 
-    def update(self, val, n: int = 1):
-        val = float(val)
-        self.val = val
-        self.sum += val * n
+    def update(self, val, n: int = 1) -> None:
+        self.val = float(val)
+        self.sum += self.val * n
         self.count += n
-        self.avg = self.sum / self.count if self.count > 0 else 0.0
 
-    def __str__(self):
-        fmtstr = "{name} {val" + self.fmt + "} ({avg" + self.fmt + "})"
-        return fmtstr.format(**self.__dict__)
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count else 0.0
+
+    def __str__(self) -> str:
+        spec = self.fmt.lstrip(":")
+        return f"{self.name} {self.val:{spec}} ({self.avg:{spec}})"
 
 
 class AverageMeterDict:
-    """Dict of meters keyed by group name (``utils/meter.py:43-62``)."""
+    """One :class:`AverageMeter` per key (e.g. per keypoint group)."""
 
-    def __init__(self, names, fmt: str = ":f"):
-        self.dict = {name: AverageMeter(name, fmt) for name in names}
+    def __init__(self, names: Iterable[str], fmt: str = ":f"):
+        self._meters: Dict[str, AverageMeter] = {
+            name: AverageMeter(name, fmt) for name in names
+        }
 
-    def update(self, accuracies, n: int = 1):
-        for name, acc in accuracies.items():
-            self.dict[name].update(acc, n)
+    def update(self, values: Mapping[str, float], n: int = 1) -> None:
+        for name, value in values.items():
+            self._meters[name].update(value, n)
 
-    def average(self):
-        return {name: m.avg for name, m in self.dict.items()}
+    def average(self) -> Dict[str, float]:
+        return {name: meter.avg for name, meter in self._meters.items()}
 
-    def __getitem__(self, name):
-        return self.dict[name]
+    def __getitem__(self, name: str) -> AverageMeter:
+        return self._meters[name]
 
 
 class ProgressMeter:
-    """Formatted per-iteration progress line (``utils/meter.py:65-95``)."""
+    """Tab-joined ``prefix[ i/N]  meter  meter ...`` progress line."""
 
-    def __init__(self, num_batches: int, meters, prefix: str = ""):
-        self.batch_fmtstr = self._get_batch_fmtstr(num_batches)
-        self.meters = meters
+    def __init__(
+        self, num_batches: int, meters: Sequence[AverageMeter], prefix: str = ""
+    ):
+        self.num_batches = num_batches
+        self.meters = list(meters)
         self.prefix = prefix
 
-    def display(self, batch: int):
-        entries = [self.prefix + self.batch_fmtstr.format(batch)]
-        entries += [str(meter) for meter in self.meters]
-        print("\t".join(entries), flush=True)
-
-    @staticmethod
-    def _get_batch_fmtstr(num_batches: int) -> str:
-        num_digits = len(str(num_batches // 1))
-        fmt = "{:" + str(num_digits) + "d}"
-        return "[" + fmt + "/" + fmt.format(num_batches) + "]"
+    def display(self, batch: int) -> None:
+        width = len(str(self.num_batches))
+        counter = f"[{batch:{width}d}/{self.num_batches:{width}d}]"
+        print("\t".join([self.prefix + counter, *map(str, self.meters)]), flush=True)
