@@ -9,6 +9,7 @@ jitted on device; only the tiny per-group dict returns to host.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from dahpe_tpu.core.losses import joints_kl_loss
 from dahpe_tpu.core.metrics import pck_accuracy
@@ -21,10 +22,16 @@ def make_eval_step(model):
     def eval_step(variables, batch):
         out = model.apply(variables, batch["image"], train=False, gl_coeff=0.0)
         y = out["y"] if isinstance(out, dict) else out
-        loss = joints_kl_loss(y, batch["target"], batch["weight"])
+        # per-sample loss (mean over joints) so the host can exclude padded
+        # trailing-batch rows from the reported average — a batch-mean here
+        # would dilute the value by the zero-weight padding rows.
+        loss_per_sample = jnp.mean(
+            joints_kl_loss(y, batch["target"], batch["weight"], reduction="none"),
+            axis=1,
+        )
         acc_per_joint, avg_acc, cnt, pred = pck_accuracy(y, batch["target"])
         return {
-            "loss": loss,
+            "loss_per_sample": loss_per_sample,
             "acc_per_joint": acc_per_joint,
             "avg_acc": avg_acc,
             "cnt": cnt,
@@ -97,7 +104,8 @@ def validate(
             image_size=(image_size, image_size),
         )
         out = eval_step(variables, batch)
-        losses.update(float(out["loss"]), n_real)
+        loss_rows = jax.device_get(out["loss_per_sample"])[:n_real]
+        losses.update(float(loss_rows.mean()), n_real)
         acc_per_joint = jax.device_get(out["acc_per_joint"])
         group_acc = dataset.group_accuracy(list(acc_per_joint))
         acc.update(group_acc, n_real)
