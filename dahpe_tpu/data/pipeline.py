@@ -74,8 +74,6 @@ class BatchLoader:
     across hosts (pass a per-host ``seed`` for multi-host DP).
     """
 
-    STOP = object()
-
     def __init__(
         self,
         dataset,
@@ -138,12 +136,18 @@ class BatchLoader:
     def __iter__(self):
         self._epoch += 1
         batches = list(self._index_batches())
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         idx_q: "queue.Queue" = queue.Queue()
         for bi, b in enumerate(batches):
             idx_q.put((bi, b))
-        results: dict[int, dict] = {}
-        lock = threading.Lock()
+
+        # In-order hand-off via a condition variable: workers park finished
+        # batches in ``ready`` and sleep once they are more than a prefetch
+        # window ahead of the consumer (bounds memory AND avoids the CPU tax
+        # of poll loops — decode threads keep every cycle on this container).
+        ready: dict[int, dict] = {}
+        cond = threading.Condition()
+        cursor = {"next": 0}
+        window = self.prefetch + self.num_workers
 
         def worker(wid: int):
             rng = np.random.default_rng(self.seed * 100003 + self._epoch * 1009 + wid)
@@ -166,8 +170,14 @@ class BatchLoader:
                     ]
                 else:
                     items = [self.dataset.fetch(int(i), rng) for i in idxs]
-                with lock:
-                    results[bi] = self._collate(items)
+                batch = self._collate(items)
+                with cond:
+                    # the worker holding the consumer's next batch (bi ==
+                    # next) never waits, so the hand-off cannot deadlock
+                    while bi - cursor["next"] >= window:
+                        cond.wait()
+                    ready[bi] = batch
+                    cond.notify_all()
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True)
@@ -176,29 +186,14 @@ class BatchLoader:
         for t in threads:
             t.start()
 
-        def emitter():
-            next_bi = 0
-            n = len(batches)
-            import time
-
-            while next_bi < n:
-                with lock:
-                    ready = next_bi in results
-                if ready:
-                    with lock:
-                        out_q.put(results.pop(next_bi))
-                    next_bi += 1
-                else:
-                    time.sleep(0.001)
-            out_q.put(self.STOP)
-
-        threading.Thread(target=emitter, daemon=True).start()
-
-        while True:
-            item = out_q.get()
-            if item is self.STOP:
-                return
-            yield item
+        for bi in range(len(batches)):
+            with cond:
+                while bi not in ready:
+                    cond.wait()
+                batch = ready.pop(bi)
+                cursor["next"] = bi + 1
+                cond.notify_all()
+            yield batch
 
 
 def device_train_batch(
