@@ -99,19 +99,136 @@ def _bilinear_sample(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _shift_rows_x(image: jnp.ndarray, k: jnp.ndarray, kmax: int) -> jnp.ndarray:
+    """Per-row integer shift: ``out[y, x] = image[y, x + k[y]]``, zero-filled.
+
+    TPU-native formulation of the shear's data movement: the per-row shift
+    amount is binary-decomposed, and each bit level applies one STATIC
+    whole-image shift (pad + slice — a dense copy, no gather) selected per
+    row with a mask. ``ceil(log2(2*kmax))`` dense passes replace the
+    scalar-load-bound per-pixel gather that made the round-1 warp 261 img/s.
+    """
+    h, w, c = image.shape
+    work = jnp.pad(image, ((0, 0), (kmax, kmax), (0, 0)))
+    kk = jnp.clip(k + kmax, 0, 2 * kmax)  # non-negative left-shift amounts
+    for level in range(max(1, (2 * kmax).bit_length())):
+        step = 1 << level
+        shifted = jnp.pad(work[:, step:], ((0, 0), (0, step), (0, 0)))
+        bit = ((kk >> level) & 1).astype(bool)
+        work = jnp.where(bit[:, None, None], shifted, work)
+    # one extra column so the caller's fractional blend still has the
+    # (k+1)-th tap available at the right edge
+    return work[:, : w + 1]
+
+
+def _shear_x(image: jnp.ndarray, slope: jnp.ndarray, kmax: int) -> jnp.ndarray:
+    """Bilinear x-shear about the image center:
+    ``out[y, x] = image[y, x + slope * (y - cy)]`` (coords at pixel centers).
+
+    Integer part via :func:`_shift_rows_x`; ONE fractional 2-tap blend on
+    top — exactly the bilinear shear a direct resample would compute.
+    """
+    h, w = image.shape[0], image.shape[1]
+    y = jnp.arange(h, dtype=jnp.float32)
+    s = slope * (y - (h - 1) / 2.0)
+    k = jnp.floor(s)
+    f = (s - k)[:, None, None]
+    base = _shift_rows_x(image, k.astype(jnp.int32), kmax)  # (h, w + 1, c)
+    return (1.0 - f) * base[:, :w] + f * base[:, 1 : w + 1]
+
+
+def _shear_y(image: jnp.ndarray, slope: jnp.ndarray, kmax: int) -> jnp.ndarray:
+    return _shear_x(image.swapaxes(0, 1), slope, kmax).swapaxes(0, 1)
+
+
+def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
+    """Rotate a square image about its center — zero gathers.
+
+    ``angle = 90q + r`` with ``|r| <= 45``: the quarter-turns are exact
+    transpose/reverse ops, and ``R(r)`` is the classic three-shear (Paeth)
+    factorization ``ShX(-tan(r/2)) . ShY(sin r) . ShX(-tan(r/2))``, each
+    shear a banded 1-D resample built from static shifts + one 2-tap blend.
+    Replaces the reference's PIL ``rotate`` (keypoint_detection.py:116-131)
+    resampling; out-of-frame regions are black in both.
+    """
+    h, w, _ = image.shape
+    assert h == w, "shear rotation requires square crops"
+    q = jnp.round(angle_deg / 90.0)
+    r = jnp.deg2rad(angle_deg - 90.0 * q)
+    qi = jnp.asarray(q, jnp.int32) % 4
+
+    # run the shears on a sqrt(2)-padded canvas: intermediate shears push
+    # content up to 0.707*h from the center before later shears bring it
+    # back, and clipping it against the original frame would punch holes in
+    # the rotated corners. Symmetric padding keeps the center (and thus the
+    # quarter-turn transposes) exact; the final center-crop restores the
+    # original frame, which is all the downstream crop box ever samples.
+    pad = int(np.ceil(0.2072 * h)) + 2
+    image = jnp.pad(image, ((pad, pad), (pad, pad), (0, 0)))
+    n = h + 2 * pad
+
+    image = jax.lax.switch(
+        qi,
+        [
+            lambda im: im,
+            lambda im: jnp.rot90(im, k=1),
+            lambda im: jnp.rot90(im, k=2),
+            lambda im: jnp.rot90(im, k=3),
+        ],
+        image,
+    )
+    a = -jnp.tan(r / 2.0)  # |a| <= tan(22.5 deg)
+    b = jnp.sin(r)  # |b| <= sin(45 deg)
+    kmax_a = int(np.ceil(0.41422 * (n - 1) / 2.0)) + 1
+    kmax_b = int(np.ceil(0.70711 * (n - 1) / 2.0)) + 1
+    image = _shear_x(image, a, kmax_a)
+    image = _shear_y(image, b, kmax_b)
+    image = _shear_x(image, a, kmax_a)
+    return image[pad : pad + h, pad : pad + w]
+
+
+def _interp_matrix(n_out: int, n_in: int, scale, offset) -> jnp.ndarray:
+    """Bilinear 1-D interpolation matrix ``W[j, x] = hat(u(j) - x)`` with
+    ``u(j) = scale * (j + 0.5) + offset - 0.5`` — the same 2-tap weights the
+    point-sampled gather uses, with out-of-range taps dropping to zero
+    exactly like its validity mask."""
+    j = jnp.arange(n_out, dtype=jnp.float32)
+    u = scale * (j + 0.5) + offset - 0.5
+    x = jnp.arange(n_in, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u[:, None] - x[None, :]))
+
+
+def _crop_resize_matmul(image, side, crop_off, out_size: int) -> jnp.ndarray:
+    """Axis-aligned crop + resize as two interpolation-matrix matmuls (MXU)."""
+    h, w, _ = image.shape
+    s = side / out_size
+    wy = _interp_matrix(out_size, h, s, crop_off[1])
+    wx = _interp_matrix(out_size, w, s, crop_off[0])
+    t = jnp.einsum("iy,yxc->ixc", wy, image)
+    return jnp.einsum("jx,ixc->ijc", wx, t)
+
+
 def _warp_one(image, keypoint2d, intrinsic, key, *, out_size, rotation,
-              scale_range):
+              scale_range, method: str = "matmul"):
     h, w, _ = image.shape
     mat, off, angle, side, crop_off, factor = _affine_params(
         key, h, w, out_size, rotation, scale_range
     )
-    ys = jnp.arange(out_size, dtype=jnp.float32) + 0.5
-    xs = jnp.arange(out_size, dtype=jnp.float32) + 0.5
-    grid = jnp.stack(
-        jnp.meshgrid(xs, ys, indexing="xy"), axis=-1
-    )  # (out, out, 2) as (x, y)
-    src = grid @ mat.T + off - 0.5
-    out = _bilinear_sample(image, src)
+    if method == "matmul":
+        # rotate the source once (three shears, dense ops only), then the
+        # crop-resize is separable → two MXU matmuls. The gather path below
+        # computes the same map in one resample; it is kept as the numerical
+        # oracle and for non-square inputs.
+        rotated = _rotate_shears(image, angle)
+        out = _crop_resize_matmul(rotated, side, crop_off, out_size)
+    else:
+        ys = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+        xs = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+        grid = jnp.stack(
+            jnp.meshgrid(xs, ys, indexing="xy"), axis=-1
+        )  # (out, out, 2) as (x, y)
+        src = grid @ mat.T + off - 0.5
+        out = _bilinear_sample(image, src)
 
     # keypoints follow the reference algebra: rotate by -angle around the
     # center, subtract the crop offset, scale by out/side
@@ -199,7 +316,9 @@ def _gaussian_blur(image, key, low=0.0, high=0.8, kernel_radius=2):
 
 @partial(
     jax.jit,
-    static_argnames=("out_size", "rotation", "scale_range", "jitter", "blur"),
+    static_argnames=(
+        "out_size", "rotation", "scale_range", "jitter", "blur", "warp"
+    ),
 )
 def augment_batch(
     images: jnp.ndarray,
@@ -212,21 +331,27 @@ def augment_batch(
     scale_range: tuple[float, float] = (0.6, 1.3),
     jitter: float = 0.25,
     blur: bool = True,
+    warp: str = "matmul",
 ):
     """Fused train-time augmentation for a batch of same-sized crops.
 
     Args:
       images: (B, H, W, 3) float32 in [0, 255] (raw decoded crops).
       keypoints: (B, K, 2); intrinsics: (B, 3, 3).
+      warp: "matmul" (three-shear rotation + interpolation-matrix resize —
+        the TPU fast path) or "gather" (single-pass per-pixel bilinear
+        gather — the numerical oracle; required for non-square inputs).
     Returns: normalized images (B, out, out, 3), keypoints, intrinsics.
     """
     b = images.shape[0]
     keys = jax.random.split(key, (b, 3))
+    if warp == "matmul" and images.shape[1] != images.shape[2]:
+        warp = "gather"
 
     def one(img, kp, intr, ks):
         img, kp, intr = _warp_one(
             img, kp, intr, ks[0], out_size=out_size, rotation=rotation,
-            scale_range=scale_range,
+            scale_range=scale_range, method=warp,
         )
         if jitter:
             img = _color_jitter(img, ks[1], jitter)

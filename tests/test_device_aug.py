@@ -86,6 +86,90 @@ def test_augment_batch_shapes_and_finite():
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
 
 
+def _smooth(h=96):
+    yy, xx = np.mgrid[0:h, 0:h].astype(np.float32)
+    return np.stack(
+        [
+            50 + xx * 1.5,
+            50 + yy * 1.5,
+            100 + 80 * np.exp(-((xx - 30) ** 2 + (yy - 50) ** 2) / 200.0),
+        ],
+        axis=-1,
+    )
+
+
+def test_matmul_warp_matches_gather_scale_only():
+    """With no rotation the matmul path is the same bilinear resample as the
+    gather oracle — must agree to float tolerance, keypoints bit-identical."""
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (96, 96, 3)).astype(np.float32)
+    kp = rng.uniform(10, 80, (21, 2)).astype(np.float32)
+    intr = np.eye(3, dtype=np.float32)
+    for seed in range(6):
+        key = jax.random.key(seed)
+        args = (jnp.asarray(img), jnp.asarray(kp), jnp.asarray(intr), key)
+        kw = dict(out_size=64, rotation=1e-6, scale_range=(0.6, 1.3))
+        og, kg, _ = device_aug._warp_one(*args, **kw, method="gather")
+        om, km, _ = device_aug._warp_one(*args, **kw, method="matmul")
+        np.testing.assert_array_equal(np.asarray(kg), np.asarray(km))
+        np.testing.assert_allclose(
+            np.asarray(om), np.asarray(og), atol=5e-3, rtol=0
+        )
+
+
+def test_matmul_warp_matches_gather_rotated_interior():
+    """Full random rotation: three-shear resampling vs the single-pass gather
+    agree on the interior of a smooth image (the black-fill boundary differs
+    by construction — multi-pass edges are soft); keypoints bit-identical."""
+    from scipy.ndimage import binary_erosion
+
+    img = _smooth(96)
+    kp = np.full((21, 2), 40, np.float32)
+    intr = np.eye(3, dtype=np.float32)
+    for seed in range(10):
+        key = jax.random.key(seed)
+        args = (jnp.asarray(img), jnp.asarray(kp), jnp.asarray(intr), key)
+        kw = dict(out_size=64, rotation=180.0, scale_range=(0.6, 1.3))
+        og, kg, _ = device_aug._warp_one(*args, **kw, method="gather")
+        om, km, _ = device_aug._warp_one(*args, **kw, method="matmul")
+        np.testing.assert_array_equal(np.asarray(kg), np.asarray(km))
+        og, om = np.asarray(og), np.asarray(om)
+        interior = binary_erosion(og.sum(-1) > 1.0, iterations=4)
+        d = np.abs(og - om)[interior]
+        assert d.max() < 2.0, f"seed {seed}: interior max {d.max()}"
+        assert d.mean() < 0.05, f"seed {seed}: interior mean {d.mean()}"
+
+
+def test_augment_batch_matmul_default_keypoints_track_pixels():
+    """The default (matmul) batch path keeps keypoints locked to content."""
+    key = jax.random.key(3)
+    img = np.zeros((96, 96, 3), np.float32)
+    kp_src = np.asarray([[48.0, 32.0]], np.float32)
+    y0, x0 = int(kp_src[0, 1]), int(kp_src[0, 0])
+    img[y0 - 1 : y0 + 2, x0 - 1 : x0 + 2] = 255.0
+    intr = np.eye(3, dtype=np.float32)
+    for warp in ("matmul", "gather"):
+        out, kp, _ = device_aug.augment_batch(
+            jnp.asarray(img)[None],
+            jnp.asarray(kp_src)[None],
+            jnp.asarray(intr)[None],
+            key,
+            out_size=64,
+            rotation=170.0,
+            scale_range=(0.8, 1.0),
+            jitter=0.0,
+            blur=False,
+            warp=warp,
+        )
+        out = np.asarray(out[0])
+        kp = np.asarray(kp[0, 0])
+        img_un = out * np.asarray(T.IMAGENET_STD) + np.asarray(T.IMAGENET_MEAN)
+        intensity = img_un.sum(-1)
+        py, px = np.unravel_index(np.argmax(intensity), intensity.shape)
+        if 0 <= kp[0] < 64 and 0 <= kp[1] < 64:
+            assert abs(px - kp[0]) <= 2.0 and abs(py - kp[1]) <= 2.0, warp
+
+
 def test_gaussian_blur_preserves_mean():
     img = _checker(64, 64, seed=2)
     out = device_aug._gaussian_blur(jnp.asarray(img), jax.random.key(1))
