@@ -31,17 +31,44 @@ def create_mesh(devices: Sequence | None = None, axis: str = "data") -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch with its leading dim sharded over the mesh."""
+    """Place a host batch with its leading dim sharded over the mesh.
+
+    Single-process: the full global batch is on this host and ``device_put``
+    slices it across local devices. Multi-host (``jax.process_count() > 1``):
+    each process passes only ITS shard of the global batch (the per-host
+    slice its ``BatchLoader`` produced) and the global array is assembled
+    from the process-local pieces — no host ever materializes the full batch.
+    """
+
+    multiprocess = jax.process_count() > 1
+
     def put(x):
         spec = P(axis, *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (parameters, optimizer state) on the mesh."""
+    """Fully replicate a pytree (parameters, optimizer state) on the mesh.
+
+    Under multi-host every process must hold an identical copy (states are
+    built from the same seed on every host); the copies become one global
+    replicated array per leaf.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
@@ -55,6 +82,17 @@ def make_parallel_da_step(model, mesh: Mesh, *, axis: str = "data", **config):
     """
     from dahpe_tpu.train.da import make_da_train_step
 
+    if config.get("use_pallas_labels") and mesh.size > 1:
+        # a pallas_call is not partitioned by GSPMD: on a >1-device mesh the
+        # kernel would compute labels from replica-local (wrong-shape) data.
+        # The jnp label path is numerically identical and is what production
+        # uses (it also measured faster — see make_da_train_step docstring),
+        # so refuse loudly rather than run a silently-broken combination.
+        raise ValueError(
+            "use_pallas_labels is single-device only (pallas_call does not "
+            f"partition under GSPMD); this mesh has {mesh.size} devices. "
+            "Use the default jnp label path."
+        )
     step = make_da_train_step(model, **config)
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(axis))
