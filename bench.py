@@ -104,37 +104,52 @@ def bench_train_step(batch: int = 32) -> None:
     )
 
 
-def bench_data_pipeline(batch: int = 64, n_images: int = 256) -> None:
-    """Host input-pipeline throughput: decode+crop+resize (raw fast path)
-    through the threaded BatchLoader on a synthetic RHD fixture."""
+def bench_data_pipeline(
+    batch: int = 64, n_images: int = 256, cached: bool = False
+) -> None:
+    """Host input-pipeline throughput through the threaded BatchLoader on a
+    synthetic RHD fixture: live decode+crop+resize (raw fast path), or the
+    pre-decoded mmap cache (``cached=True``, the production train path)."""
     import shutil
     import tempfile
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from fixtures import make_rhd_fixture
 
-    from dahpe_tpu.data import BatchLoader, RenderedHandPose
+    from dahpe_tpu.data import BatchLoader, DecodedCache, RenderedHandPose
 
     root = tempfile.mkdtemp(prefix="dahpe_bench_")
     try:
         make_rhd_fixture(root, n=n_images)
         ds = RenderedHandPose(root, split="train", transforms=None)
+        if cached:
+            t0 = time.perf_counter()
+            ds = DecodedCache(ds, os.path.join(root, "_cache"))
+            print(
+                f"cache build: {time.perf_counter() - t0:.2f}s for "
+                f"{len(ds)} images (one-time)",
+                file=sys.stderr,
+            )
         loader = BatchLoader(
             ds, batch_size=batch, num_workers=os.cpu_count() or 8, seed=0,
             raw=True, drop_last=True,
         )
-        # warm epoch (page cache), then timed epoch
+        # warm epoch (page cache), then timed epochs
         for _ in loader:
             pass
         n = 0
         t0 = time.perf_counter()
-        for b in loader:
-            n += b["image_u8"].shape[0]
+        for _ in range(4 if cached else 1):
+            for b in loader:
+                n += b["image_u8"].shape[0]
         dt = time.perf_counter() - t0
         print(
             json.dumps(
                 {
-                    "metric": "host_input_pipeline_images_per_sec",
+                    "metric": (
+                        "host_input_pipeline_images_per_sec"
+                        + ("_cached" if cached else "")
+                    ),
                     "value": round(n / dt, 1),
                     "unit": "images/sec",
                     "vs_baseline": None,
@@ -145,6 +160,70 @@ def bench_data_pipeline(batch: int = 64, n_images: int = 256) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_device_aug(batch: int = 256, warp: str = "matmul") -> None:
+    """On-device fused augmentation throughput (``data/device_aug.py``):
+    the full train-time transform (affine warp + jitter + blur + normalize)
+    for a batch of raw 288^2 uint8 crops, timed on device with the same
+    two-loop-length differencing as the inference bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from dahpe_tpu.data.device_aug import augment_batch
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 255, (batch, 288, 288, 3)), jnp.float32
+    )
+    kps = jnp.asarray(rng.uniform(20, 260, (batch, 21, 2)), jnp.float32)
+    intr = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (batch, 3, 3))
+
+    @jax.jit
+    def run_n(images, key, n):
+        def body(_, carry):
+            images, key, acc = carry
+            key, sub = jax.random.split(key)
+            out, kp, _ = augment_batch(
+                images, kps, intr, sub, out_size=256, warp=warp
+            )
+            # data dependency so iterations serialize and can't be hoisted
+            return (
+                images * (1.0 + 1e-9 * out[0, 0, 0, 0]),
+                key,
+                acc + out[0, 0, 0, 0] + kp[0, 0, 0],
+            )
+
+        _, _, acc = jax.lax.fori_loop(
+            0, n, body, (images, key, jnp.float32(0.0))
+        )
+        return acc
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(run_n(images, jax.random.key(0), n))
+        return time.perf_counter() - t0
+
+    timed(1)
+    t_lo = min(timed(2) for _ in range(3))
+    t_hi = min(timed(12) for _ in range(3))
+    per_batch = (t_hi - t_lo) / 10
+    img_s = batch / per_batch
+    print(
+        f"device aug ({warp}): {per_batch*1e3:.1f} ms/batch-{batch}, "
+        f"{img_s:.1f} img/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"device_augment_images_per_sec_{warp}",
+                "value": round(img_s, 1),
+                "unit": "images/sec",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -153,7 +232,13 @@ def main() -> None:
 
     _enable_compile_cache()
     if len(sys.argv) > 1 and sys.argv[1] == "data":
-        bench_data_pipeline()
+        bench_data_pipeline(cached="cached" in sys.argv[2:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "aug":
+        bench_device_aug(
+            batch=int(sys.argv[2]) if len(sys.argv) > 2 else 256,
+            warp=sys.argv[3] if len(sys.argv) > 3 else "matmul",
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         bench_train_step(int(sys.argv[2]) if len(sys.argv) > 2 else 32)

@@ -63,6 +63,13 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                         help="host threads only decode+crop; all augmentation "
                              "(fused affine warp, jitter, blur, normalize) "
                              "runs batched on the TPU")
+    parser.add_argument("--decoded-cache", type=str, default=None,
+                        help="directory for the pre-decoded crop cache "
+                             "(data/cache.py): the decode+crop+resize prefix "
+                             "is materialized once, after which train fetches "
+                             "are mmap reads — removes PNG decode from the "
+                             "input critical path (works with --device-aug "
+                             "and --host-warp)")
     parser.add_argument("--host-warp", action="store_true",
                         help="fast path: fused C++ augmentation on the host "
                              "(one resample for rotate+crop+resize + jitter + "

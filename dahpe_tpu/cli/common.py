@@ -48,31 +48,87 @@ def build_datasets(args):
     return train_source, val_source, train_target, val_target
 
 
-def build_loaders(args, train_source, val_source, train_target, val_target):
+def train_loader_mode(args) -> str:
+    """Which host pipeline the train loaders use: ``pil`` (reference-parity
+    transforms), ``raw`` (decode-only, augmentation fused on device) or
+    ``warped`` (fused C++ host augmentation)."""
+    if getattr(args, "device_aug", False):
+        return "raw"
+    if getattr(args, "host_warp", False):
+        return "warped"
+    return "pil"
+
+
+def build_train_loader(args, dataset, *, seed_offset: int = 0, mode: str = "pil"):
+    """One sharded, shuffled train loader in the requested pipeline mode.
+
+    Under multi-host DP every process loads a disjoint shard of each epoch
+    and its share of the global batch.
+    """
     import jax
 
-    # under multi-host DP every process loads a disjoint shard of each epoch
-    # and its share of the global batch
     n_proc = jax.process_count()
-    per_host_batch = max(1, args.batch_size // n_proc)
+    kwargs = {}
+    if mode == "raw":
+        kwargs["raw"] = True
+    elif mode == "warped":
+        kwargs.update(warped=True, image_size=args.image_size)
+    elif mode != "pil":
+        raise ValueError(f"unknown train loader mode {mode!r}")
+    if getattr(args, "decoded_cache", None) and mode in ("raw", "warped"):
+        # decode+crop+resize runs once into a mmap cache; steady-state train
+        # fetches become memcpy reads (data/cache.py). The PIL mode is the
+        # reference-parity path and stays uncached on purpose.
+        import hashlib
+        import os
 
-    def mk(ds, shuffle, drop, shard):
-        return BatchLoader(
-            ds,
-            per_host_batch if shard else args.batch_size,
-            shuffle=shuffle,
-            drop_last=drop,
-            num_workers=args.workers,
-            seed=args.seed,
-            host_index=jax.process_index() if shard else 0,
-            host_count=n_proc if shard else 1,
+        from dahpe_tpu.data import DecodedCache
+
+        root_tag = hashlib.sha1(
+            os.path.abspath(getattr(dataset, "root", "")).encode()
+        ).hexdigest()[:8]
+        tag = (
+            f"{type(dataset).__name__}_{getattr(dataset, 'split', 'x')}_{root_tag}"
         )
+        dataset = DecodedCache(
+            dataset,
+            os.path.join(args.decoded_cache, tag),
+            num_workers=args.workers,
+        )
+    return BatchLoader(
+        dataset,
+        max(1, args.batch_size // n_proc),
+        shuffle=True,
+        drop_last=True,
+        num_workers=args.workers,
+        seed=args.seed + seed_offset,
+        host_index=jax.process_index(),
+        host_count=n_proc,
+        **kwargs,
+    )
 
+
+def build_val_loader(args, dataset):
+    """Full-batch unsharded eval loader (every host sees every sample)."""
+    return BatchLoader(
+        dataset,
+        args.batch_size,
+        shuffle=False,
+        drop_last=False,
+        num_workers=args.workers,
+        seed=args.seed,
+    )
+
+
+def build_loaders(
+    args, train_source, val_source, train_target, val_target, *, train_mode=None
+):
+    mode = train_loader_mode(args) if train_mode is None else train_mode
     return (
-        mk(train_source, True, True, True),
-        mk(val_source, False, False, False),
-        mk(train_target, True, True, True),
-        mk(val_target, False, False, False),
+        build_train_loader(args, train_source, seed_offset=0, mode=mode),
+        build_val_loader(args, val_source),
+        build_train_loader(args, train_target, seed_offset=1, mode=mode),
+        build_val_loader(args, val_target),
     )
 
 

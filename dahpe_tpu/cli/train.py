@@ -23,7 +23,9 @@ from dahpe_tpu.cli.common import (
     build_datasets,
     build_loaders,
     build_model,
+    build_train_loader,
     make_visualizer,
+    train_loader_mode,
 )
 from dahpe_tpu.data import ForeverIterator, finalize_batch
 from dahpe_tpu.evaluate import make_eval_step, validate
@@ -118,9 +120,14 @@ def main(args):
     np.random.seed(args.seed)
 
     (train_source, val_source, train_target, val_target) = build_datasets(args)
+    # train loaders come up directly in their production mode (PIL host
+    # transforms, raw-for-device-aug, or fused C++ warp) — nothing is built
+    # and thrown away
+    loader_mode = train_loader_mode(args)
     (train_source_loader, val_source_loader,
      train_target_loader, val_target_loader) = build_loaders(
-        args, train_source, val_source, train_target, val_target
+        args, train_source, val_source, train_target, val_target,
+        train_mode=loader_mode,
     )
     print("Source train:", len(train_source_loader))
     print("Target train:", len(train_target_loader))
@@ -142,8 +149,16 @@ def main(args):
         pretrain_path = args.pretrain
         if pretrain_path is None and args.phase == "train":
             print("Pretraining the model on source domain.")
+            # pretraining consumes PIL-transformed batches regardless of the
+            # DA loaders' mode (finalize_batch expects image/keypoint2d keys)
+            pretrain_source_loader = (
+                train_source_loader
+                if loader_mode == "pil"
+                else build_train_loader(args, train_source, mode="pil")
+            )
             pretrain_path = pretrain_phase(
-                args, logger, train_source_loader, val_source_loader, val_source
+                args, logger, pretrain_source_loader, val_source_loader,
+                val_source
             )
         if pretrain_path is not None:
             variables = variables_of(state)
@@ -201,31 +216,8 @@ def main(args):
     state = replicate(state, mesh)
 
     if args.device_aug:
-        # host threads only decode+crop+canonical-resize; the geometric +
-        # photometric augmentation runs fused on device
-        from dahpe_tpu.data import BatchLoader
         from dahpe_tpu.data.pipeline import device_train_batch
 
-        train_source_loader = BatchLoader(
-            train_source, args.batch_size,
-            num_workers=args.workers, seed=args.seed, raw=True,
-        )
-        train_target_loader = BatchLoader(
-            train_target, args.batch_size,
-            num_workers=args.workers, seed=args.seed + 1, raw=True,
-        )
-    elif args.host_warp:
-        # fused C++ host augmentation; output plugs into finalize_batch
-        from dahpe_tpu.data import BatchLoader
-
-        train_source_loader = BatchLoader(
-            train_source, args.batch_size, num_workers=args.workers,
-            seed=args.seed, warped=True, image_size=args.image_size,
-        )
-        train_target_loader = BatchLoader(
-            train_target, args.batch_size, num_workers=args.workers,
-            seed=args.seed + 1, warped=True, image_size=args.image_size,
-        )
     source_iter = ForeverIterator(lambda: iter(train_source_loader))
     target_iter = ForeverIterator(lambda: iter(train_target_loader))
     aug_keys = iter_keys(jax.random.key(args.seed)) if args.device_aug else None

@@ -5,6 +5,7 @@ Registry mirrors the reference's module-reflection lookup
 ``train1.py:73,82,597-600``).
 """
 
+from dahpe_tpu.data.cache import DecodedCache
 from dahpe_tpu.data.datasets.base import Hand21KeypointDataset, KeypointDataset
 from dahpe_tpu.data.datasets.h3d import Hand3DStudio, Hand3DStudioAll
 from dahpe_tpu.data.datasets.rhd import RenderedHandPose
@@ -19,13 +20,34 @@ DATASETS = {
 }
 
 
+def check_exists(root, name: str) -> None:
+    """Fail fast on a missing dataset root (``utils/_util.py:40-46`` role).
+
+    The reference's ``check_exits``/``download`` helpers either abort with a
+    clear message or auto-download; this image has no network egress, so a
+    wrong root must surface here rather than as a FileNotFoundError from a
+    pickle/json open deep inside a parser.
+    """
+    import os
+
+    if root is None or not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"Dataset root {root!r} for {name} does not exist. Automatic "
+            f"download is unavailable in this environment — place the "
+            f"dataset there manually (see the reference README for sources) "
+            f"or pass the correct root."
+        )
+
+
 def get_dataset(name: str, **kwargs):
     try:
-        return DATASETS[name](**kwargs)
+        cls = DATASETS[name]
     except KeyError:
         raise ValueError(
             f"unknown dataset {name!r}; choices: {sorted(DATASETS)}"
         ) from None
+    check_exists(kwargs.get("root"), name)
+    return cls(**kwargs)
 
 
 __all__ = [
@@ -38,6 +60,7 @@ __all__ = [
     "Hand3DStudioAll",
     "STB",
     "BatchLoader",
+    "DecodedCache",
     "ForeverIterator",
     "finalize_batch",
 ]
