@@ -99,6 +99,9 @@ def bench_train_step(batch: int = 32) -> None:
                 "value": round(img_s, 1),
                 "unit": "images/sec",
                 "vs_baseline": round(img_s / REF_GPU_TRAIN_IMG_S, 2),
+                # the reference publishes no throughput; denominator is the
+                # documented estimate in BASELINE.md, not a measurement
+                "vs_baseline_is_estimate": True,
             }
         )
     )
@@ -297,6 +300,9 @@ def main() -> None:
                 "value": round(img_s, 1),
                 "unit": "images/sec",
                 "vs_baseline": round(img_s / REF_GPU_IMG_S, 2),
+                # denominator is BASELINE.md's documented ESTIMATE (the
+                # reference publishes no throughput numbers)
+                "vs_baseline_is_estimate": True,
             }
         )
     )

@@ -100,49 +100,58 @@ def _bilinear_sample(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
 
 def _shift_rows_x(image: jnp.ndarray, k: jnp.ndarray, kmax: int) -> jnp.ndarray:
-    """Per-row integer shift: ``out[y, x] = image[y, x + k[y]]``, zero-filled.
+    """Per-row integer shift: ``out[c, y, x] = image[c, y, x + k[y]]``,
+    zero-filled.
 
     TPU-native formulation of the shear's data movement: the per-row shift
     amount is binary-decomposed, and each bit level applies one STATIC
     whole-image shift (pad + slice — a dense copy, no gather) selected per
     row with a mask. ``ceil(log2(2*kmax))`` dense passes replace the
     scalar-load-bound per-pixel gather that made the round-1 warp 261 img/s.
+    Channels-first layout on purpose: the last (TPU lane) dimension is the
+    wide image axis, not the 3 color channels.
     """
-    h, w, c = image.shape
-    work = jnp.pad(image, ((0, 0), (kmax, kmax), (0, 0)))
+    c, h, w = image.shape
+    work = jnp.pad(image, ((0, 0), (0, 0), (kmax, kmax)))
     kk = jnp.clip(k + kmax, 0, 2 * kmax)  # non-negative left-shift amounts
     for level in range(max(1, (2 * kmax).bit_length())):
         step = 1 << level
-        shifted = jnp.pad(work[:, step:], ((0, 0), (0, step), (0, 0)))
+        shifted = jnp.pad(work[:, :, step:], ((0, 0), (0, 0), (0, step)))
         bit = ((kk >> level) & 1).astype(bool)
-        work = jnp.where(bit[:, None, None], shifted, work)
+        work = jnp.where(bit[None, :, None], shifted, work)
     # one extra column so the caller's fractional blend still has the
     # (k+1)-th tap available at the right edge
-    return work[:, : w + 1]
+    return work[:, :, : w + 1]
 
 
 def _shear_x(image: jnp.ndarray, slope: jnp.ndarray, kmax: int) -> jnp.ndarray:
-    """Bilinear x-shear about the image center:
+    """Bilinear x-shear about the image center on a ``(C, H, W)`` canvas:
     ``out[y, x] = image[y, x + slope * (y - cy)]`` (coords at pixel centers).
 
     Integer part via :func:`_shift_rows_x`; ONE fractional 2-tap blend on
-    top — exactly the bilinear shear a direct resample would compute.
+    top — exactly the bilinear shear a direct resample would compute. The
+    canvas is 8.8 fixed-point ``uint16`` (see :func:`_rotate_shears`), so
+    the blend runs in int32 with round-to-nearest at 1/256 resolution.
     """
-    h, w = image.shape[0], image.shape[1]
+    h, w = image.shape[1], image.shape[2]
     y = jnp.arange(h, dtype=jnp.float32)
     s = slope * (y - (h - 1) / 2.0)
     k = jnp.floor(s)
-    f = (s - k)[:, None, None]
-    base = _shift_rows_x(image, k.astype(jnp.int32), kmax)  # (h, w + 1, c)
-    return (1.0 - f) * base[:, :w] + f * base[:, 1 : w + 1]
+    f = (s - k)[None, :, None]
+    base = _shift_rows_x(image, k.astype(jnp.int32), kmax)  # (c, h, w + 1)
+    w2 = jnp.round(f * 256.0).astype(jnp.int32)
+    lo = base[:, :, :w].astype(jnp.int32)
+    hi = base[:, :, 1 : w + 1].astype(jnp.int32)
+    return ((lo * (256 - w2) + hi * w2 + 128) >> 8).astype(jnp.uint16)
 
 
 def _shear_y(image: jnp.ndarray, slope: jnp.ndarray, kmax: int) -> jnp.ndarray:
-    return _shear_x(image.swapaxes(0, 1), slope, kmax).swapaxes(0, 1)
+    return _shear_x(image.swapaxes(1, 2), slope, kmax).swapaxes(1, 2)
 
 
 def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
-    """Rotate a square image about its center — zero gathers.
+    """Rotate a square ``(H, W, C)`` image about its center — zero gathers —
+    returning the rotated canvas channels-first ``(C, H, W)``.
 
     ``angle = 90q + r`` with ``|r| <= 45``: the quarter-turns are exact
     transpose/reverse ops, and ``R(r)`` is the classic three-shear (Paeth)
@@ -157,6 +166,17 @@ def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
     r = jnp.deg2rad(angle_deg - 90.0 * q)
     qi = jnp.asarray(q, jnp.int32) % 4
 
+    # shears run channels-first so the TPU lane dimension is the image width
+    # (vector units 128 wide; a trailing C=3 would leave 125/128 lanes idle
+    # on every one of the ~25 shift/select passes), and in 8.8 fixed-point
+    # uint16: the passes are memory-bound, so halving bytes halves time.
+    # uint8 sources are exact in 8.8 (val*256 <= 65280); each shear's blend
+    # rounds to 1/256 — three blends bound the quantization error by ~0.012
+    # of a uint8 level, far inside the resampling noise the augmentation
+    # already accepts.
+    image = image.transpose(2, 0, 1)
+    image = jnp.clip(jnp.round(image * 256.0), 0.0, 65535.0).astype(jnp.uint16)
+
     # run the shears on a sqrt(2)-padded canvas: intermediate shears push
     # content up to 0.707*h from the center before later shears bring it
     # back, and clipping it against the original frame would punch holes in
@@ -164,16 +184,16 @@ def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
     # quarter-turn transposes) exact; the final center-crop restores the
     # original frame, which is all the downstream crop box ever samples.
     pad = int(np.ceil(0.2072 * h)) + 2
-    image = jnp.pad(image, ((pad, pad), (pad, pad), (0, 0)))
+    image = jnp.pad(image, ((0, 0), (pad, pad), (pad, pad)))
     n = h + 2 * pad
 
     image = jax.lax.switch(
         qi,
         [
             lambda im: im,
-            lambda im: jnp.rot90(im, k=1),
-            lambda im: jnp.rot90(im, k=2),
-            lambda im: jnp.rot90(im, k=3),
+            lambda im: jnp.rot90(im, k=1, axes=(1, 2)),
+            lambda im: jnp.rot90(im, k=2, axes=(1, 2)),
+            lambda im: jnp.rot90(im, k=3, axes=(1, 2)),
         ],
         image,
     )
@@ -184,7 +204,8 @@ def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
     image = _shear_x(image, a, kmax_a)
     image = _shear_y(image, b, kmax_b)
     image = _shear_x(image, a, kmax_a)
-    return image[pad : pad + h, pad : pad + w]
+    image = image[:, pad : pad + h, pad : pad + w]
+    return image.astype(jnp.float32) * (1.0 / 256.0)
 
 
 def _interp_matrix(n_out: int, n_in: int, scale, offset) -> jnp.ndarray:
@@ -199,13 +220,14 @@ def _interp_matrix(n_out: int, n_in: int, scale, offset) -> jnp.ndarray:
 
 
 def _crop_resize_matmul(image, side, crop_off, out_size: int) -> jnp.ndarray:
-    """Axis-aligned crop + resize as two interpolation-matrix matmuls (MXU)."""
-    h, w, _ = image.shape
+    """Axis-aligned crop + resize of a ``(C, H, W)`` canvas as two
+    interpolation-matrix matmuls (MXU); returns ``(out, out, C)``."""
+    c, h, w = image.shape
     s = side / out_size
     wy = _interp_matrix(out_size, h, s, crop_off[1])
     wx = _interp_matrix(out_size, w, s, crop_off[0])
-    t = jnp.einsum("iy,yxc->ixc", wy, image)
-    return jnp.einsum("jx,ixc->ijc", wx, t)
+    t = jnp.einsum("iy,cyx->cix", wy, image)
+    return jnp.einsum("jx,cix->ijc", wx, t)
 
 
 def _warp_one(image, keypoint2d, intrinsic, key, *, out_size, rotation,
