@@ -107,6 +107,82 @@ def bench_train_step(batch: int = 32) -> None:
     )
 
 
+def bench_train_e2e(batch: int = 32, iters: int = 20) -> None:
+    """Whole-system DA training iteration on one chip with the
+    device-resident store: on-device sample gather + fused augmentation +
+    Gaussian targets + the 3-phase DA step — the ``--device-store
+    --decoded-cache`` CLI path's steady state, nothing hidden."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from fixtures import make_rhd_fixture
+
+    from dahpe_tpu import models
+    from dahpe_tpu.data import DecodedCache, RenderedHandPose
+    from dahpe_tpu.data.device_store import DeviceDataStore
+    from dahpe_tpu.train import create_da_state, make_da_train_step
+    from dahpe_tpu.train.rng import iter_keys
+
+    root = tempfile.mkdtemp(prefix="dahpe_bench_")
+    try:
+        make_rhd_fixture(root, n=256)
+        ds = RenderedHandPose(root, split="train", transforms=None)
+        store = DeviceDataStore(
+            DecodedCache(ds, os.path.join(root, "_c")), verbose=False
+        )
+        model = models.MultiHeadPoseResNet(
+            backbone=models.get_backbone("resnet101", dtype=jnp.bfloat16),
+            num_keypoints=21, dtype=jnp.bfloat16,
+        )
+        print(f"init DA state (batch {batch})", file=sys.stderr)
+        state = create_da_state(model, jax.random.key(0), image_size=256,
+                                batch_size=batch)
+        step = jax.jit(make_da_train_step(model, compute_metrics=False))
+        keys = iter_keys(jax.random.key(0))
+
+        def one_iter(state):
+            b_s = store.train_batch(next(keys), batch)
+            b_t = store.train_batch(next(keys), batch)
+            return step(state, b_s, b_t)
+
+        state, m = one_iter(state)  # compile
+        float(m["loss_s"])
+
+        def timed(n):
+            nonlocal state
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, m = one_iter(state)
+            float(m["loss_s"])  # host transfer = real sync through the tunnel
+            return time.perf_counter() - t0
+
+        timed(2)
+        dt = min(timed(iters) for _ in range(2)) / iters
+        img_s = 2 * batch / dt
+        print(
+            f"DA e2e iteration (device store): {dt*1e3:.1f} ms/iter, "
+            f"{img_s:.1f} img/s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "da_train_e2e_images_per_sec_per_chip_256px",
+                    "value": round(img_s, 1),
+                    "unit": "images/sec",
+                    "vs_baseline": round(img_s / REF_GPU_TRAIN_IMG_S, 2),
+                    "vs_baseline_is_estimate": True,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_data_pipeline(
     batch: int = 64, n_images: int = 256, cached: bool = False
 ) -> None:
@@ -245,6 +321,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         bench_train_step(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "e2e":
+        bench_train_e2e(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
         return
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128

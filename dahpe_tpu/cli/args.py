@@ -59,6 +59,15 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                         help="call jax.distributed.initialize() so the mesh "
                              "spans all hosts; each host loads a disjoint "
                              "data shard")
+    parser.add_argument("--device-store", action="store_true",
+                        help="upload the pre-decoded dataset to HBM once "
+                             "(data/device_store.py) and run the ENTIRE "
+                             "train input path on device: per-iteration "
+                             "sample gather + fused augmentation + Gaussian "
+                             "targets, zero host traffic. Requires the "
+                             "dataset to fit in HBM as uint8 crops; combine "
+                             "with --decoded-cache to make the one-time "
+                             "upload decode-free")
     parser.add_argument("--device-aug", action="store_true",
                         help="host threads only decode+crop; all augmentation "
                              "(fused affine warp, jitter, blur, normalize) "

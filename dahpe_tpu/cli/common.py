@@ -59,6 +59,28 @@ def train_loader_mode(args) -> str:
     return "pil"
 
 
+def maybe_decoded_cache(args, dataset):
+    """Wrap ``dataset`` in the pre-decoded mmap cache when ``--decoded-cache``
+    is set: decode+crop+resize runs once, steady-state fetches become memcpy
+    reads (``data/cache.py``)."""
+    if not getattr(args, "decoded_cache", None):
+        return dataset
+    import hashlib
+    import os
+
+    from dahpe_tpu.data import DecodedCache
+
+    root_tag = hashlib.sha1(
+        os.path.abspath(getattr(dataset, "root", "")).encode()
+    ).hexdigest()[:8]
+    tag = f"{type(dataset).__name__}_{getattr(dataset, 'split', 'x')}_{root_tag}"
+    return DecodedCache(
+        dataset,
+        os.path.join(args.decoded_cache, tag),
+        num_workers=args.workers,
+    )
+
+
 def build_train_loader(args, dataset, *, seed_offset: int = 0, mode: str = "pil"):
     """One sharded, shuffled train loader in the requested pipeline mode.
 
@@ -75,26 +97,9 @@ def build_train_loader(args, dataset, *, seed_offset: int = 0, mode: str = "pil"
         kwargs.update(warped=True, image_size=args.image_size)
     elif mode != "pil":
         raise ValueError(f"unknown train loader mode {mode!r}")
-    if getattr(args, "decoded_cache", None) and mode in ("raw", "warped"):
-        # decode+crop+resize runs once into a mmap cache; steady-state train
-        # fetches become memcpy reads (data/cache.py). The PIL mode is the
-        # reference-parity path and stays uncached on purpose.
-        import hashlib
-        import os
-
-        from dahpe_tpu.data import DecodedCache
-
-        root_tag = hashlib.sha1(
-            os.path.abspath(getattr(dataset, "root", "")).encode()
-        ).hexdigest()[:8]
-        tag = (
-            f"{type(dataset).__name__}_{getattr(dataset, 'split', 'x')}_{root_tag}"
-        )
-        dataset = DecodedCache(
-            dataset,
-            os.path.join(args.decoded_cache, tag),
-            num_workers=args.workers,
-        )
+    if mode in ("raw", "warped"):
+        # the PIL mode is the reference-parity path, uncached on purpose
+        dataset = maybe_decoded_cache(args, dataset)
     return BatchLoader(
         dataset,
         max(1, args.batch_size // n_proc),

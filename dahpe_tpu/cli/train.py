@@ -24,6 +24,7 @@ from dahpe_tpu.cli.common import (
     build_loaders,
     build_model,
     build_train_loader,
+    build_val_loader,
     make_visualizer,
     train_loader_mode,
 )
@@ -32,6 +33,7 @@ from dahpe_tpu.evaluate import make_eval_step, validate
 from dahpe_tpu.parallel import create_mesh, make_parallel_da_step, replicate, shard_batch
 from dahpe_tpu.train import create_da_state, create_pretrain_state, make_pretrain_step
 from dahpe_tpu.train.optim import pretrain_lr_factor
+from dahpe_tpu.train.rng import iter_keys
 from dahpe_tpu.utils import checkpoint as ckpt
 from dahpe_tpu.utils.logging import RunLogger
 from dahpe_tpu.utils.meters import AverageMeter, ProgressMeter
@@ -41,11 +43,6 @@ def variables_of(state):
     return {"params": state.params, "batch_stats": state.batch_stats}
 
 
-def iter_keys(key):
-    """Infinite stream of fresh PRNG keys."""
-    while True:
-        key, sub = jax.random.split(key)
-        yield sub
 
 
 def pretrain_phase(args, logger, train_source_loader, val_source_loader,
@@ -122,15 +119,21 @@ def main(args):
     (train_source, val_source, train_target, val_target) = build_datasets(args)
     # train loaders come up directly in their production mode (PIL host
     # transforms, raw-for-device-aug, or fused C++ warp) — nothing is built
-    # and thrown away
+    # and thrown away. Under --device-store the DA loop needs no host
+    # loaders at all (the dataset lives in HBM; see data/device_store.py).
     loader_mode = train_loader_mode(args)
-    (train_source_loader, val_source_loader,
-     train_target_loader, val_target_loader) = build_loaders(
-        args, train_source, val_source, train_target, val_target,
-        train_mode=loader_mode,
-    )
-    print("Source train:", len(train_source_loader))
-    print("Target train:", len(train_target_loader))
+    if args.device_store:
+        train_source_loader = train_target_loader = None
+        val_source_loader = build_val_loader(args, val_source)
+        val_target_loader = build_val_loader(args, val_target)
+    else:
+        (train_source_loader, val_source_loader,
+         train_target_loader, val_target_loader) = build_loaders(
+            args, train_source, val_source, train_target, val_target,
+            train_mode=loader_mode,
+        )
+        print("Source train:", len(train_source_loader))
+        print("Target train:", len(train_target_loader))
     print("Source test:", len(val_source_loader))
     print("Target test:", len(val_target_loader))
 
@@ -153,7 +156,7 @@ def main(args):
             # DA loaders' mode (finalize_batch expects image/keypoint2d keys)
             pretrain_source_loader = (
                 train_source_loader
-                if loader_mode == "pil"
+                if loader_mode == "pil" and not args.device_store
                 else build_train_loader(args, train_source, mode="pil")
             )
             pretrain_path = pretrain_phase(
@@ -215,27 +218,65 @@ def main(args):
     )
     state = replicate(state, mesh)
 
-    if args.device_aug:
-        from dahpe_tpu.data.pipeline import device_train_batch
+    aug_keys = (
+        iter_keys(jax.random.key(args.seed))
+        if (args.device_aug or args.device_store) else None
+    )
 
-    source_iter = ForeverIterator(lambda: iter(train_source_loader))
-    target_iter = ForeverIterator(lambda: iter(train_target_loader))
-    aug_keys = iter_keys(jax.random.key(args.seed)) if args.device_aug else None
+    if args.device_store:
+        # the whole train set lives in HBM: each next_batch is ONE on-device
+        # program (sample gather + fused augmentation + targets) — no host
+        # loader, no H2D traffic on the training critical path
+        from dahpe_tpu.cli.common import maybe_decoded_cache
+        from dahpe_tpu.data.device_store import DeviceDataStore
 
-    def next_batch(it):
+        stores = {}
+        for name, ds in (("source", train_source), ("target", train_target)):
+            stores[name] = DeviceDataStore(
+                maybe_decoded_cache(args, ds), mesh=mesh
+            )
+            print(f"device store ({name}): {stores[name].n} samples, "
+                  f"{stores[name].nbytes() / 1e9:.2f} GB HBM")
+
+        def make_next_batch(store):
+            def next_batch():
+                return store.train_batch(
+                    next(aug_keys), args.batch_size,
+                    image_size=args.image_size,
+                    heatmap_size=args.heatmap_size,
+                    rotation=args.rotation,
+                    scale_range=tuple(args.resize_scale),
+                )
+            return next_batch
+
+        next_source = make_next_batch(stores["source"])
+        next_target = make_next_batch(stores["target"])
+    else:
         if args.device_aug:
-            batch = device_train_batch(
-                next(it), next(aug_keys),
-                image_size=args.image_size, heatmap_size=args.heatmap_size,
-                rotation=args.rotation, scale_range=tuple(args.resize_scale),
-            )
-        else:
-            batch = finalize_batch(
-                next(it),
-                heatmap_size=(args.heatmap_size,) * 2,
-                image_size=(args.image_size,) * 2,
-            )
-        return shard_batch(batch, mesh)
+            from dahpe_tpu.data.pipeline import device_train_batch
+
+        source_iter = ForeverIterator(lambda: iter(train_source_loader))
+        target_iter = ForeverIterator(lambda: iter(train_target_loader))
+
+        def next_batch(it):
+            if args.device_aug:
+                batch = device_train_batch(
+                    next(it), next(aug_keys),
+                    image_size=args.image_size,
+                    heatmap_size=args.heatmap_size,
+                    rotation=args.rotation,
+                    scale_range=tuple(args.resize_scale),
+                )
+            else:
+                batch = finalize_batch(
+                    next(it),
+                    heatmap_size=(args.heatmap_size,) * 2,
+                    image_size=(args.image_size,) * 2,
+                )
+            return shard_batch(batch, mesh)
+
+        next_source = lambda: next_batch(source_iter)  # noqa: E731
+        next_target = lambda: next_batch(target_iter)  # noqa: E731
 
     best_acc = float("-inf")
     print("Start regression domain adaptation.")
@@ -254,7 +295,7 @@ def main(args):
         )
         end = time.time()
         for i in range(args.iters_per_epoch):
-            b_s, b_t = next_batch(source_iter), next_batch(target_iter)
+            b_s, b_t = next_source(), next_target()
             state, metrics = step_fn(state, b_s, b_t)
             if i % args.print_freq == 0:
                 losses_s.update(float(metrics["loss_s"]))

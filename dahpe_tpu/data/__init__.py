@@ -6,6 +6,7 @@ Registry mirrors the reference's module-reflection lookup
 """
 
 from dahpe_tpu.data.cache import DecodedCache
+from dahpe_tpu.data.device_store import DeviceDataStore
 from dahpe_tpu.data.datasets.base import Hand21KeypointDataset, KeypointDataset
 from dahpe_tpu.data.datasets.h3d import Hand3DStudio, Hand3DStudioAll
 from dahpe_tpu.data.datasets.rhd import RenderedHandPose
@@ -61,6 +62,7 @@ __all__ = [
     "STB",
     "BatchLoader",
     "DecodedCache",
+    "DeviceDataStore",
     "ForeverIterator",
     "finalize_batch",
 ]

@@ -358,13 +358,16 @@ def augment_batch(
     """Fused train-time augmentation for a batch of same-sized crops.
 
     Args:
-      images: (B, H, W, 3) float32 in [0, 255] (raw decoded crops).
+      images: (B, H, W, 3) in [0, 255] — uint8 straight from the host
+        loader (preferred: 4x less H2D traffic, cast happens on device) or
+        float32.
       keypoints: (B, K, 2); intrinsics: (B, 3, 3).
       warp: "matmul" (three-shear rotation + interpolation-matrix resize —
         the TPU fast path) or "gather" (single-pass per-pixel bilinear
         gather — the numerical oracle; required for non-square inputs).
     Returns: normalized images (B, out, out, 3), keypoints, intrinsics.
     """
+    images = images.astype(jnp.float32)
     b = images.shape[0]
     keys = jax.random.split(key, (b, 3))
     if warp == "matmul" and images.shape[1] != images.shape[2]:

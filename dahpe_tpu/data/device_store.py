@@ -1,0 +1,180 @@
+"""Device-resident dataset store: training batches with ZERO host traffic.
+
+The reference streams every batch from the host (``DataLoader``,
+``train1.py:76-77``); on a GPU box that is nearly free. On TPU the
+host→device link is the scarcest resource in the input path (and through
+this environment's tunneled chip it is catastrophically scarce: ~26 ms
+latency, tens of MB/s, no pipelining — measured). The pre-decoded crops of
+a whole hand-pose dataset, however, fit in HBM as uint8 (RHD train:
+~10 GB at 288², ~8 GB at 256²; H3D/STB far less), so the TPU-native design
+is to upload the decoded cache ONCE and make every training iteration a
+single on-device program:
+
+    sample indices (on-device RNG) → gather crops from the resident store
+    → fused warp/jitter/blur/normalize (``device_aug``) → Gaussian targets
+
+After the one-time upload the input pipeline needs no host CPU, no disk,
+and no PCIe/tunnel bytes — iteration wall time equals device compute time.
+
+Sharding: given a ``Mesh``, the sample dimension is sharded over the data
+axis and each device samples its batch shard from its local shard of the
+dataset (the same per-worker-shard semantics as multi-host ``BatchLoader``
+loading, ``cli/common.py``). Sampling is with replacement ACROSS steps and
+without replacement within a step — the infinite-iterator regime the DA
+trainer already runs in (``utils/data.py`` role); there is no epoch
+boundary to preserve.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@partial(jax.jit, donate_argnums=0, static_argnames=())
+def _write_chunk(buf, chunk, start):
+    """In-place (donated) row-range write into the resident buffer."""
+    idx = (start,) + (0,) * (buf.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, chunk.astype(buf.dtype), idx)
+
+
+class DeviceDataStore:
+    """Pre-decoded crops resident in HBM, sharded over a data mesh.
+
+    Args:
+      source: anything with ``fetch_raw(i, rng, raw_size)`` — a
+        :class:`~dahpe_tpu.data.cache.DecodedCache` (preferred: upload is
+        mmap-read speed) or a live dataset (decodes once during upload).
+      mesh: data mesh; samples are sharded over ``axis``. ``None`` = a
+        1-device mesh on the default device.
+      raw_size: side of the stored crops (must match a cache's build size).
+      upload_chunk: rows per host→device copy during the one-time upload.
+    """
+
+    def __init__(self, source, *, mesh: Mesh | None = None,
+                 axis: str = "data", raw_size: int = 288,
+                 upload_chunk: int = 512, verbose: bool = True):
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()[:1]), (axis,))
+        self.mesh = mesh
+        self.axis = axis
+        self.raw_size = int(raw_size)
+        d = mesh.shape[axis]
+        # equal shards per device (drop_last semantics, like BatchLoader)
+        self.n = (len(source) // d) * d
+        if self.n == 0:
+            raise ValueError(f"dataset ({len(source)}) smaller than mesh ({d})")
+        k = source.num_keypoints
+        s = self.raw_size
+
+        def alloc(shape, dtype):
+            sharding = NamedSharding(mesh, P(axis, *([None] * (len(shape) - 1))))
+            return jax.jit(
+                lambda: jnp.zeros(shape, dtype), out_shardings=sharding
+            )()
+
+        images = alloc((self.n, s, s, 3), jnp.uint8)
+        kps = alloc((self.n, k, 2), jnp.float32)
+        vis = alloc((self.n, k), jnp.float32)
+        intr = alloc((self.n, 3, 3), jnp.float32)
+
+        rng = np.random.default_rng(0)  # fetch_raw does not consume it
+        for start in range(0, self.n, upload_chunk):
+            stop = min(start + upload_chunk, self.n)
+            items = [source.fetch_raw(i, rng, s) for i in range(start, stop)]
+            images = _write_chunk(
+                images, jnp.asarray(np.stack([x["image_u8"] for x in items])),
+                start)
+            kps = _write_chunk(
+                kps, jnp.asarray(np.stack([x["keypoint2d"] for x in items])),
+                start)
+            vis = _write_chunk(
+                vis,
+                jnp.asarray(
+                    np.stack([x["visible"] for x in items]).reshape(-1, k)
+                ),
+                start)
+            intr = _write_chunk(
+                intr,
+                jnp.asarray(np.stack([x["intrinsic_matrix"] for x in items])),
+                start)
+            if verbose and start // upload_chunk % 8 == 0:
+                print(f"device-store upload: {stop}/{self.n}", flush=True)
+        jax.block_until_ready(images)
+        self.images, self.kps, self.vis, self.intr = images, kps, vis, intr
+        self._train_batch_fn = None
+        self._train_batch_cfg = None
+
+    def nbytes(self) -> int:
+        return sum(
+            x.size * x.dtype.itemsize
+            for x in (self.images, self.kps, self.vis, self.intr)
+        )
+
+    def _build_train_batch(self, batch_size: int, image_size: int,
+                           heatmap_size: int, rotation: float,
+                           scale_range: tuple, sigma: float):
+        from dahpe_tpu.core.heatmap import generate_target
+        from dahpe_tpu.data.device_aug import augment_batch
+
+        mesh, axis = self.mesh, self.axis
+        d = mesh.shape[axis]
+        if batch_size % d:
+            raise ValueError(f"batch {batch_size} not divisible by mesh {d}")
+        local_b = batch_size // d
+        local_n = self.n // d
+
+        def shard_fn(images, kps, vis, intr, key):
+            # per-device stream: fold in the device's position on the axis
+            key = jax.random.fold_in(key[0], jax.lax.axis_index(axis))
+            idx = jax.random.choice(
+                key, local_n, shape=(local_b,), replace=False
+            )
+            img = jnp.take(images, idx, axis=0)
+            kp = jnp.take(kps, idx, axis=0)
+            v = jnp.take(vis, idx, axis=0)
+            it = jnp.take(intr, idx, axis=0)
+            img, kp, _ = augment_batch(
+                img, kp, it, jax.random.fold_in(key, 1),
+                out_size=image_size, rotation=rotation,
+                scale_range=scale_range,
+            )
+            target, weight = generate_target(
+                kp, v, (heatmap_size, heatmap_size),
+                (image_size, image_size), sigma=sigma,
+            )
+            return {"image": img, "target": target, "weight": weight}
+
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs={"image": P(axis), "target": P(axis), "weight": P(axis)},
+        )
+        return jax.jit(fn)
+
+    def train_batch(self, key, batch_size: int, *, image_size: int = 256,
+                    heatmap_size: int = 64, rotation: float = 180.0,
+                    scale_range=(0.6, 1.3), sigma: float = 2.0) -> dict:
+        """One fully on-device training batch: gather + augment + targets.
+
+        ``key`` drives both the sample choice and the augmentation; pass a
+        fresh fold per iteration (``iter_keys``).
+        """
+        cfg = (batch_size, image_size, heatmap_size, float(rotation),
+               tuple(scale_range), float(sigma))
+        if self._train_batch_fn is None or self._train_batch_cfg != cfg:
+            self._train_batch_fn = self._build_train_batch(*cfg[:3], *cfg[3:])
+            self._train_batch_cfg = cfg
+        d = self.mesh.shape[self.axis]
+        keys = jax.random.split(key, d)  # one key row per device shard
+        keys = jax.device_put(
+            keys, NamedSharding(self.mesh, P(self.axis)))
+        return self._train_batch_fn(
+            self.images, self.kps, self.vis, self.intr, keys
+        )
