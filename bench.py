@@ -326,7 +326,9 @@ def main() -> None:
         bench_train_e2e(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
         return
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    # batch sweep on v5e (r2): 64->4644, 96->5075, 128->5000, 160->4484,
+    # 192->4529 img/s; 96 is the knee
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     backbone = models.get_backbone("resnet101", dtype=jnp.bfloat16)
     model = models.MultiHeadPoseResNet(
         backbone=backbone, num_keypoints=21, dtype=jnp.bfloat16

@@ -46,8 +46,14 @@ def variables_of(state):
 
 
 def pretrain_phase(args, logger, train_source_loader, val_source_loader,
-                   val_source_dataset):
-    """Supervised source pretraining (``train1.py:158-181``)."""
+                   val_source_dataset, *, source_store=None, mesh=None):
+    """Supervised source pretraining (``train1.py:158-181``).
+
+    With ``source_store`` (a :class:`DeviceDataStore` sharded over ``mesh``)
+    the batches come entirely from device memory (on-device gather + fused
+    augmentation) and the step runs as a pjit over the mesh; otherwise the
+    reference-parity host PIL loader feeds a single-device jitted step.
+    """
     model = build_model(args, multi_head=False)
     state = create_pretrain_state(
         model, jax.random.key(args.seed), image_size=args.image_size,
@@ -61,9 +67,30 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
             params=dict(variables["params"]),
             batch_stats=dict(variables["batch_stats"]),
         )
-    step_fn = jax.jit(make_pretrain_step(model))
+    if source_store is not None:
+        from dahpe_tpu.parallel import make_parallel_pretrain_step
+
+        step_fn = make_parallel_pretrain_step(model, mesh)
+        state = replicate(state, mesh)
+        keys = iter_keys(jax.random.key(args.seed + 7))
+
+        def next_batch():
+            return source_store.train_batch(
+                next(keys), args.batch_size, image_size=args.image_size,
+                heatmap_size=args.heatmap_size, rotation=args.rotation,
+                scale_range=tuple(args.resize_scale),
+            )
+    else:
+        step_fn = jax.jit(make_pretrain_step(model))
+        source_iter = ForeverIterator(lambda: iter(train_source_loader))
+
+        def next_batch():
+            return finalize_batch(
+                next(source_iter),
+                heatmap_size=(args.heatmap_size,) * 2,
+                image_size=(args.image_size,) * 2,
+            )
     eval_step = make_eval_step(model)
-    source_iter = ForeverIterator(lambda: iter(train_source_loader))
     pretrain_path = logger.get_checkpoint_path("pretrain")
     # the reference starts at 0 (train1.py:165) and would never write the
     # checkpoint if val acc stayed <= 0; -inf guarantees a checkpoint exists
@@ -83,12 +110,7 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
         )
         end = time.time()
         for i in range(args.iters_per_epoch):
-            batch = finalize_batch(
-                next(source_iter),
-                heatmap_size=(args.heatmap_size,) * 2,
-                image_size=(args.image_size,) * 2,
-            )
-            state, metrics = step_fn(state, batch, jnp.asarray(lr))
+            state, metrics = step_fn(state, next_batch(), jnp.asarray(lr))
             if i % args.print_freq == 0:
                 losses.update(float(metrics["loss_s"]))
                 accs.update(float(metrics["acc_s"]))
@@ -137,6 +159,33 @@ def main(args):
     print("Source test:", len(val_source_loader))
     print("Target test:", len(val_target_loader))
 
+    # the data mesh + (optional) device-resident stores are shared by the
+    # pretrain and DA phases, so they come up before either
+    mesh = stores = None
+    if args.phase == "train":
+        n_dev = math.gcd(args.batch_size, len(jax.devices()))
+        mesh = create_mesh(jax.devices()[:n_dev])
+        if n_dev < len(jax.devices()):
+            print(
+                f"using {n_dev}/{len(jax.devices())} devices "
+                f"(batch {args.batch_size} must divide evenly)"
+            )
+        if args.device_store:
+            # the whole train set lives in HBM: each batch is ONE on-device
+            # program (sample gather + fused augmentation + targets) — no
+            # host loader, no H2D traffic on the training critical path
+            from dahpe_tpu.cli.common import maybe_decoded_cache
+            from dahpe_tpu.data.device_store import DeviceDataStore
+
+            stores = {}
+            for name, ds in (("source", train_source),
+                             ("target", train_target)):
+                stores[name] = DeviceDataStore(
+                    maybe_decoded_cache(args, ds), mesh=mesh
+                )
+                print(f"device store ({name}): {stores[name].n} samples, "
+                      f"{stores[name].nbytes() / 1e9:.2f} GB HBM")
+
     model = build_model(args, multi_head=True)
     state = create_da_state(
         model, jax.random.key(args.seed), image_size=args.image_size,
@@ -152,16 +201,22 @@ def main(args):
         pretrain_path = args.pretrain
         if pretrain_path is None and args.phase == "train":
             print("Pretraining the model on source domain.")
-            # pretraining consumes PIL-transformed batches regardless of the
-            # DA loaders' mode (finalize_batch expects image/keypoint2d keys)
-            pretrain_source_loader = (
-                train_source_loader
-                if loader_mode == "pil" and not args.device_store
-                else build_train_loader(args, train_source, mode="pil")
-            )
+            if stores is not None:
+                # fully on-device pretraining from the source store
+                pretrain_source_loader = None
+            else:
+                # pretraining consumes PIL-transformed batches regardless of
+                # the DA loaders' mode (finalize_batch wants image/keypoint2d)
+                pretrain_source_loader = (
+                    train_source_loader
+                    if loader_mode == "pil"
+                    else build_train_loader(args, train_source, mode="pil")
+                )
             pretrain_path = pretrain_phase(
                 args, logger, pretrain_source_loader, val_source_loader,
-                val_source
+                val_source,
+                source_store=stores["source"] if stores else None,
+                mesh=mesh,
             )
         if pretrain_path is not None:
             variables = variables_of(state)
@@ -203,13 +258,6 @@ def main(args):
         return
 
     # --- DA training over the device mesh --------------------------------
-    n_dev = math.gcd(args.batch_size, len(jax.devices()))
-    mesh = create_mesh(jax.devices()[:n_dev])
-    if n_dev < len(jax.devices()):
-        print(
-            f"using {n_dev}/{len(jax.devices())} devices "
-            f"(batch {args.batch_size} must divide evenly)"
-        )
     step_fn = make_parallel_da_step(
         model, mesh,
         base_lr=args.lr, lr_gamma=args.lr_gamma, lr_decay=args.lr_decay,
@@ -224,20 +272,6 @@ def main(args):
     )
 
     if args.device_store:
-        # the whole train set lives in HBM: each next_batch is ONE on-device
-        # program (sample gather + fused augmentation + targets) — no host
-        # loader, no H2D traffic on the training critical path
-        from dahpe_tpu.cli.common import maybe_decoded_cache
-        from dahpe_tpu.data.device_store import DeviceDataStore
-
-        stores = {}
-        for name, ds in (("source", train_source), ("target", train_target)):
-            stores[name] = DeviceDataStore(
-                maybe_decoded_cache(args, ds), mesh=mesh
-            )
-            print(f"device store ({name}): {stores[name].n} samples, "
-                  f"{stores[name].nbytes() / 1e9:.2f} GB HBM")
-
         def make_next_batch(store):
             def next_batch():
                 return store.train_batch(

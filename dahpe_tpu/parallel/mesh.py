@@ -104,6 +104,24 @@ def make_parallel_da_step(model, mesh: Mesh, *, axis: str = "data", **config):
     )
 
 
+def make_parallel_pretrain_step(model, mesh: Mesh, *, axis: str = "data",
+                                **config):
+    """Source pretraining step over the data mesh — same contract as
+    :func:`make_parallel_da_step`: state replicated, batch sharded on
+    ``axis``, grads psum'd by GSPMD, ``lr`` a replicated scalar."""
+    from dahpe_tpu.train.pretrain import make_pretrain_step
+
+    step = make_pretrain_step(model, **config)
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_parallel_eval_step(model, mesh: Mesh, *, axis: str = "data"):
     """Jit the eval forward (main head only) sharded over the batch."""
 
