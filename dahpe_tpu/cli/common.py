@@ -59,7 +59,25 @@ def train_loader_mode(args) -> str:
     return "pil"
 
 
-def maybe_decoded_cache(args, dataset):
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeat CLI runs skip the expensive
+    (minutes over remote transports) recompiles. Opt out / relocate with
+    ``DAHPE_JAX_CACHE=`` (empty disables)."""
+    import os
+
+    import jax
+
+    cache = os.environ.get("DAHPE_JAX_CACHE", "/tmp/dahpe_jax_cache")
+    if not cache:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+def maybe_decoded_cache(args, dataset, *, raw_size: int = 288):
     """Wrap ``dataset`` in the pre-decoded mmap cache when ``--decoded-cache``
     is set: decode+crop+resize runs once, steady-state fetches become memcpy
     reads (``data/cache.py``)."""
@@ -73,10 +91,14 @@ def maybe_decoded_cache(args, dataset):
     root_tag = hashlib.sha1(
         os.path.abspath(getattr(dataset, "root", "")).encode()
     ).hexdigest()[:8]
-    tag = f"{type(dataset).__name__}_{getattr(dataset, 'split', 'x')}_{root_tag}"
+    tag = (
+        f"{type(dataset).__name__}_{getattr(dataset, 'split', 'x')}"
+        f"_{raw_size}_{root_tag}"
+    )
     return DecodedCache(
         dataset,
         os.path.join(args.decoded_cache, tag),
+        raw_size=raw_size,
         num_workers=args.workers,
     )
 

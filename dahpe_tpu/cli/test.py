@@ -11,13 +11,20 @@ from __future__ import annotations
 import jax
 
 from dahpe_tpu.cli.args import build_parser
-from dahpe_tpu.cli.common import build_datasets, build_loaders, build_model, make_visualizer
+from dahpe_tpu.cli.common import (
+    build_datasets,
+    build_loaders,
+    build_model,
+    enable_compile_cache,
+    make_visualizer,
+)
 from dahpe_tpu.evaluate import make_eval_step, validate
 from dahpe_tpu.utils import checkpoint as ckpt
 from dahpe_tpu.utils.logging import RunLogger
 
 
 def main(args):
+    enable_compile_cache()
     logger = RunLogger(args.log, "test")
     print(args)
 

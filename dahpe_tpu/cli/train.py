@@ -131,6 +131,9 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
 
 
 def main(args):
+    from dahpe_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     if getattr(args, "multihost", False):
         jax.distributed.initialize()
     logger = RunLogger(args.log, args.phase)
@@ -145,9 +148,13 @@ def main(args):
     # loaders at all (the dataset lives in HBM; see data/device_store.py).
     loader_mode = train_loader_mode(args)
     if args.device_store:
+        # train AND val data live in HBM (stores built with the mesh below);
+        # host val loaders are only needed for the standalone test phase
         train_source_loader = train_target_loader = None
-        val_source_loader = build_val_loader(args, val_source)
-        val_target_loader = build_val_loader(args, val_target)
+        val_source_loader = val_target_loader = None
+        if args.phase == "test":
+            val_source_loader = build_val_loader(args, val_source)
+            val_target_loader = build_val_loader(args, val_target)
     else:
         (train_source_loader, val_source_loader,
          train_target_loader, val_target_loader) = build_loaders(
@@ -156,8 +163,9 @@ def main(args):
         )
         print("Source train:", len(train_source_loader))
         print("Target train:", len(train_target_loader))
-    print("Source test:", len(val_source_loader))
-    print("Target test:", len(val_target_loader))
+    if val_source_loader is not None:
+        print("Source test:", len(val_source_loader))
+        print("Target test:", len(val_target_loader))
 
     # the data mesh + (optional) device-resident stores are shared by the
     # pretrain and DA phases, so they come up before either
@@ -185,6 +193,26 @@ def main(args):
                 )
                 print(f"device store ({name}): {stores[name].n} samples, "
                       f"{stores[name].nbytes() / 1e9:.2f} GB HBM")
+            # val sets too: built at raw_size == image_size so the PIL val
+            # resize is baked into the upload (bit-identical geometry) and
+            # per-epoch validation is a pure on-device sweep
+            for name, ds in (("source", val_source), ("target", val_target)):
+                store = DeviceDataStore(
+                    maybe_decoded_cache(args, ds, raw_size=args.image_size),
+                    mesh=mesh, shard_samples=False,
+                    raw_size=args.image_size,
+                )
+                loader = store.eval_loader(
+                    args.batch_size, heatmap_size=args.heatmap_size
+                )
+                if name == "source":
+                    val_source_loader = loader
+                else:
+                    val_target_loader = loader
+                print(f"device store (val {name}): {store.n} samples, "
+                      f"{store.nbytes() / 1e9:.2f} GB HBM")
+            print("Source test:", len(val_source_loader))
+            print("Target test:", len(val_target_loader))
 
     model = build_model(args, multi_head=True)
     state = create_da_state(

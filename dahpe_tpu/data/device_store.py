@@ -53,28 +53,37 @@ class DeviceDataStore:
         mmap-read speed) or a live dataset (decodes once during upload).
       mesh: data mesh; samples are sharded over ``axis``. ``None`` = a
         1-device mesh on the default device.
+      shard_samples: shard the sample dim over the mesh (training stores;
+        drops a trailing remainder so shards are equal, like drop_last).
+        ``False`` replicates the arrays on every device — required for the
+        eval loader under a replicated-parameter mesh, and keeps EVERY
+        sample (validation must not drop any).
       raw_size: side of the stored crops (must match a cache's build size).
       upload_chunk: rows per host→device copy during the one-time upload.
     """
 
     def __init__(self, source, *, mesh: Mesh | None = None,
-                 axis: str = "data", raw_size: int = 288,
-                 upload_chunk: int = 512, verbose: bool = True):
+                 axis: str = "data", shard_samples: bool = True,
+                 raw_size: int = 288, upload_chunk: int = 512,
+                 verbose: bool = True):
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()[:1]), (axis,))
         self.mesh = mesh
         self.axis = axis
+        self.shard_samples = shard_samples
         self.raw_size = int(raw_size)
-        d = mesh.shape[axis]
         # equal shards per device (drop_last semantics, like BatchLoader)
+        d = mesh.shape[axis] if shard_samples else 1
         self.n = (len(source) // d) * d
         if self.n == 0:
             raise ValueError(f"dataset ({len(source)}) smaller than mesh ({d})")
         k = source.num_keypoints
         s = self.raw_size
 
+        row_spec = P(axis) if shard_samples else P()
+
         def alloc(shape, dtype):
-            sharding = NamedSharding(mesh, P(axis, *([None] * (len(shape) - 1))))
+            sharding = NamedSharding(mesh, row_spec)
             return jax.jit(
                 lambda: jnp.zeros(shape, dtype), out_shardings=sharding
             )()
@@ -124,6 +133,11 @@ class DeviceDataStore:
         from dahpe_tpu.data.device_aug import augment_batch
 
         mesh, axis = self.mesh, self.axis
+        if not self.shard_samples:
+            raise ValueError(
+                "train_batch requires a sample-sharded store "
+                "(shard_samples=True); replicated stores are eval-only"
+            )
         d = mesh.shape[axis]
         if batch_size % d:
             raise ValueError(f"batch {batch_size} not divisible by mesh {d}")
@@ -158,6 +172,27 @@ class DeviceDataStore:
         )
         return jax.jit(fn)
 
+    def eval_loader(self, batch_size: int, *, heatmap_size: int = 64,
+                    sigma: float = 2.0):
+        """Device-resident validation loader (drop-in for ``BatchLoader`` in
+        ``evaluate.validate`` — it advertises ``device_finalized``).
+
+        Build the store at ``raw_size == image_size`` for this: the
+        deterministic val-transform geometry (crop + PIL bilinear resize) is
+        then EXACTLY the cache/upload prefix, bit-identical to the host PIL
+        path, and the device only normalizes + renders Gaussian targets.
+        Trailing batches are padded with clipped duplicate rows whose targets
+        are zero-masked, so they contribute nothing to PCK — mirroring the
+        host path's zero-row padding.
+        """
+        if self.shard_samples and self.mesh.shape[self.axis] > 1:
+            raise ValueError(
+                "eval_loader needs a replicated store on a >1-device mesh "
+                "(build with shard_samples=False): a sample-sharded store "
+                "drops trailing samples and validation must see every one"
+            )
+        return _DeviceEvalLoader(self, batch_size, heatmap_size, sigma)
+
     def train_batch(self, key, batch_size: int, *, image_size: int = 256,
                     heatmap_size: int = 64, rotation: float = 180.0,
                     scale_range=(0.6, 1.3), sigma: float = 2.0) -> dict:
@@ -178,3 +213,52 @@ class DeviceDataStore:
         return self._train_batch_fn(
             self.images, self.kps, self.vis, self.intr, keys
         )
+
+class _DeviceEvalLoader:
+    """Sequential, fixed-shape validation batches straight from HBM."""
+
+    device_finalized = True
+
+    def __init__(self, store: DeviceDataStore, batch_size: int,
+                 heatmap_size: int, sigma: float):
+        from dahpe_tpu.core.heatmap import generate_target
+        from dahpe_tpu.data.device_aug import IMAGENET_MEAN, IMAGENET_STD
+
+        self.store = store
+        self.batch_size = int(batch_size)
+        n, b = store.n, self.batch_size
+        image_size = store.raw_size
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
+        @jax.jit
+        def eval_batch(images, kps, vis, start):
+            rows = start + jnp.arange(b)
+            valid = (rows < n).astype(jnp.float32)
+            idx = jnp.clip(rows, 0, n - 1)
+            img = jnp.take(images, idx, axis=0).astype(jnp.float32) / 255.0
+            img = (img - mean) / std
+            target, weight = generate_target(
+                jnp.take(kps, idx, axis=0), jnp.take(vis, idx, axis=0),
+                (heatmap_size, heatmap_size), (image_size, image_size),
+                sigma=sigma,
+            )
+            # zero-mask the clipped duplicate padding rows: all-zero targets
+            # fail pck_accuracy's peak validity filter, exactly like the host
+            # path's zero-row padding (evaluate.validate)
+            target = target * valid[:, None, None, None]
+            weight = weight * valid[:, None]
+            return {"image": img, "target": target, "weight": weight}
+
+        self._fn = eval_batch
+
+    def __len__(self) -> int:
+        return -(-self.store.n // self.batch_size)
+
+    def __iter__(self):
+        s = self.store
+        for start in range(0, s.n, self.batch_size):
+            yield {
+                "batch": self._fn(s.images, s.kps, s.vis, start),
+                "n_real": min(self.batch_size, s.n - start),
+            }

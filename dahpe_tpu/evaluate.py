@@ -80,29 +80,36 @@ def validate(
     losses = AverageMeter("Loss", ":.2e")
 
     full_batch = getattr(loader, "batch_size", None)
+    # device-resident loaders (DeviceDataStore.eval_loader) yield finalized,
+    # fixed-shape batches straight from HBM with their real row count
+    prepared = getattr(loader, "device_finalized", False)
 
     for i, host_batch in enumerate(loader):
-        n_real = int(host_batch["image"].shape[0])
-        if full_batch is not None and n_real < full_batch:
-            # pad the trailing partial batch to a fixed shape so the jitted
-            # eval step compiles exactly once (a recompile costs minutes on
-            # remote TPU transports). Padded rows have all-zero targets whose
-            # peak coords fail the `> 1` validity filter, so they contribute
-            # nothing to PCK; the loss/meters are weighted by n_real.
-            pad = full_batch - n_real
-            import numpy as _np
+        if prepared:
+            batch, n_real = host_batch["batch"], host_batch["n_real"]
+        else:
+            n_real = int(host_batch["image"].shape[0])
+            if full_batch is not None and n_real < full_batch:
+                # pad the trailing partial batch to a fixed shape so the
+                # jitted eval step compiles exactly once (a recompile costs
+                # minutes on remote TPU transports). Padded rows have
+                # all-zero targets whose peak coords fail the `> 1` validity
+                # filter, so they contribute nothing to PCK; the loss/meters
+                # are weighted by n_real.
+                pad = full_batch - n_real
+                import numpy as _np
 
-            host_batch = {
-                k: _np.concatenate(
-                    [v, _np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
-                )
-                for k, v in host_batch.items()
-            }
-        batch = finalize_batch(
-            host_batch,
-            heatmap_size=(heatmap_size, heatmap_size),
-            image_size=(image_size, image_size),
-        )
+                host_batch = {
+                    k: _np.concatenate(
+                        [v, _np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                    )
+                    for k, v in host_batch.items()
+                }
+            batch = finalize_batch(
+                host_batch,
+                heatmap_size=(heatmap_size, heatmap_size),
+                image_size=(image_size, image_size),
+            )
         out = eval_step(variables, batch)
         loss_rows = jax.device_get(out["loss_per_sample"])[:n_real]
         losses.update(float(loss_rows.mean()), n_real)
@@ -112,7 +119,7 @@ def validate(
 
         if i % print_freq == 0:
             print(f"Test: [{i}/{len(loader)}]\t{losses}\tall {acc['all'].avg:.3f}")
-            if visualize is not None:
+            if visualize is not None and not prepared:
                 pred = jax.device_get(out["pred"])[0]
                 visualize(
                     host_batch["image"][0],

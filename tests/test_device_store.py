@@ -102,3 +102,60 @@ def test_nbytes_accounts_everything(cache):
     store = DeviceDataStore(cache, verbose=False)
     s = store.raw_size
     assert store.nbytes() >= store.n * s * s * 3
+
+
+def test_eval_loader_matches_host_validation(cache, tmp_path):
+    """validate() over the device eval loader must agree with validate()
+    over the host PIL loader (same dataset, same model): the store's upload
+    prefix IS the val transform's geometry (built at raw_size=image_size),
+    and the on-device normalize/targets are the same math as the host's."""
+    from dahpe_tpu import models
+    from dahpe_tpu.data import BatchLoader, DecodedCache
+    from dahpe_tpu.data.transforms import val_transform
+    from dahpe_tpu.evaluate import make_eval_step, validate
+    from dahpe_tpu.models.resnet import Bottleneck
+
+    ds_raw = cache.dataset
+    image_size, heatmap_size, batch = 64, 16, 4
+
+    model = models.MultiHeadPoseResNet(
+        backbone=models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1]),
+        num_keypoints=21,
+    )
+    x0 = jnp.zeros((batch, image_size, image_size, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False, gl_coeff=0.0)
+    eval_step = make_eval_step(model)
+
+    # host path: PIL transforms + BatchLoader (odd count -> padded trailer);
+    # the dataset ctor appends RHD_published_v2 to the root it is given
+    import os
+
+    fixture_root = os.path.dirname(ds_raw.root)
+    ds_host = type(ds_raw)(
+        fixture_root, split="train", transforms=val_transform(image_size),
+        image_size=(image_size,) * 2, heatmap_size=(heatmap_size,) * 2,
+    )
+    host_loader = BatchLoader(
+        ds_host, batch, shuffle=False, drop_last=False, num_workers=1, seed=0
+    )
+    host_acc = validate(
+        host_loader, model, variables, ds_host, image_size=image_size,
+        heatmap_size=heatmap_size, print_freq=1000, eval_step=eval_step,
+    )
+
+    # device path: store at raw_size == image_size
+    store_cache = DecodedCache(
+        ds_raw, str(tmp_path / "c64"), raw_size=image_size
+    )
+    store = DeviceDataStore(
+        store_cache, raw_size=image_size, verbose=False
+    )
+    dev_loader = store.eval_loader(batch, heatmap_size=heatmap_size)
+    dev_acc = validate(
+        dev_loader, model, variables, ds_raw, image_size=image_size,
+        heatmap_size=heatmap_size, print_freq=1000, eval_step=eval_step,
+    )
+
+    assert set(host_acc) == set(dev_acc)
+    for k in host_acc:
+        np.testing.assert_allclose(dev_acc[k], host_acc[k], atol=1e-6, err_msg=k)
