@@ -57,6 +57,13 @@ class MultiHeadPoseResNet(nn.Module):
 
     ``__call__`` always returns the 5-tuple dict; eval callers read ``y``
     (the reference's eval branch, ``regda_7.py:4943-4946``).
+
+    The forward is split into :meth:`features` / :meth:`main_head` /
+    :meth:`adv_heads` so the DA step can reuse the (unchanged) feature and
+    main-head computation between its B and C sub-steps instead of running
+    the backbone three times per iteration (``train/da.py``); ``__call__``
+    composes them and is the only entry eval/serving ever needs. Submodule
+    attribute names keep the torch state-dict key map intact.
     """
 
     backbone: nn.Module
@@ -66,7 +73,47 @@ class MultiHeadPoseResNet(nn.Module):
     dtype: Any = None
     bn_axis_name: str | None = None
 
-    @nn.compact
+    def setup(self):
+        common = dict(
+            num_keypoints=self.num_keypoints,
+            channel_dim=self.feature_dim,
+            dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name,
+        )
+        self.upsampling = Upsampling(
+            dtype=self.dtype, bn_axis_name=self.bn_axis_name
+        )
+        self.head = PlainHead(num_layers=self.num_head_layers, **common)
+        self.head_adv = PlainHead(num_layers=self.num_head_layers, **common)
+        self.head_adv2 = FusionHead(
+            feature_stride=1, num_layers=self.num_head_layers, **common
+        )
+        self.head_adv3 = FusionHead(
+            feature_stride=2, num_layers=self.num_head_layers, **common
+        )
+
+    def features(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        """Backbone + deconv upsampling → (B, 64, 64, 256) feature map."""
+        return self.upsampling(self.backbone(x, train=train), train=train)
+
+    def main_head(self, f: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        """The supervised 64×64 head on the feature map."""
+        return self.head(f, train=train)
+
+    def adv_heads(
+        self,
+        f: jnp.ndarray,
+        *,
+        train: bool = False,
+        gl_coeff: jnp.ndarray | float = 0.0,
+    ) -> dict[str, jnp.ndarray]:
+        """The three adversarial heads off the λ-scaled feature map."""
+        f_adv = gradient_scale(f, jnp.asarray(gl_coeff, dtype=f.dtype))
+        y_adv = self.head_adv(f_adv, train=train)
+        y_adv2 = self.head_adv2(f_adv, y_adv, train=train)
+        y_adv3 = self.head_adv3(f_adv, y_adv2, train=train)
+        return {"y_adv": y_adv, "y_adv2": y_adv2, "y_adv3": y_adv3}
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -74,34 +121,7 @@ class MultiHeadPoseResNet(nn.Module):
         train: bool = False,
         gl_coeff: jnp.ndarray | float = 0.0,
     ) -> dict[str, jnp.ndarray]:
-        feats = self.backbone(x, train=train)
-        f = Upsampling(
-            dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="upsampling"
-        )(feats, train=train)
-        f_adv = gradient_scale(f, jnp.asarray(gl_coeff, dtype=f.dtype))
-
-        common = dict(
-            num_keypoints=self.num_keypoints,
-            channel_dim=self.feature_dim,
-            dtype=self.dtype,
-            bn_axis_name=self.bn_axis_name,
-        )
-        y = PlainHead(num_layers=self.num_head_layers, name="head", **common)(
-            f, train=train
-        )
-        y_adv = PlainHead(num_layers=self.num_head_layers, name="head_adv", **common)(
-            f_adv, train=train
-        )
-        y_adv2 = FusionHead(
-            feature_stride=1,
-            num_layers=self.num_head_layers,
-            name="head_adv2",
-            **common,
-        )(f_adv, y_adv, train=train)
-        y_adv3 = FusionHead(
-            feature_stride=2,
-            num_layers=self.num_head_layers,
-            name="head_adv3",
-            **common,
-        )(f_adv, y_adv2, train=train)
-        return {"y": y, "y_adv": y_adv, "y_adv2": y_adv2, "y_adv3": y_adv3, "f": f}
+        f = self.features(x, train=train)
+        y = self.main_head(f, train=train)
+        advs = self.adv_heads(f, train=train, gl_coeff=gl_coeff)
+        return {"y": y, "f": f, **advs}

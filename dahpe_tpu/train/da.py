@@ -101,6 +101,8 @@ def make_da_train_step(
     gl_max_iters: int = 1000,
     compute_metrics: bool = True,
     use_pallas_labels: bool = False,
+    share_target_features: bool = True,
+    bn_momentum: float = 0.1,
 ) -> Callable:
     """Build the jittable DA step: ``(state, batch_s, batch_t) -> (state, metrics)``.
 
@@ -115,6 +117,19 @@ def make_da_train_step(
     chip (resnet101, bf16, batch 32): 68.3 ms/iter jnp vs 71.3 ms/iter
     pallas — the label math is a tiny fraction of the step and XLA's fusion
     of the jnp form is already optimal, so jnp stays the default.
+
+    ``share_target_features`` (default on): Steps B and C act on the SAME
+    target batch, and neither updates the backbone/upsampling/main-head
+    params in between (B steps the adversarial heads only, ``train1.py:
+    433-436``), so the reference's second and third full forwards recompute
+    identical feature maps and identical main-head heatmaps. Here the target
+    features are computed ONCE under ``jax.vjp`` (the cut point for Step C's
+    feature gradients) and the main head once; only the tiny adversarial
+    heads run twice. BN running stats still advance exactly twice for the
+    shared modules via the closed-form double update (the batch statistics
+    of both reference forwards are identical, so
+    ``r2 = (2 - m)·r1 - (1 - m)·r0``). Numerics match the unshared path to
+    float-reassociation noise; set False for the literal 3-forward replica.
     """
     tx = torch_sgd(momentum=momentum, weight_decay=weight_decay)
 
@@ -162,61 +177,143 @@ def make_da_train_step(
             ("f", "h", "h_adv", "h_adv2", "h_adv3"), DA_PARTITIONS,
         )
 
-        # ---- Step B: adversarial heads maximize fused ground-false ----
+        # ---- Steps B + C over the target batch ----
         adv_keys = ("head_adv", "head_adv2", "head_adv3")
+        f_keys = ("backbone", "upsampling")
 
-        def loss_b(adv_params, frozen, batch_stats):
-            out, bs = forward({**adv_params, **frozen}, batch_stats, x_t, lam)
-            y = out["y"]
-            a3 = jax.lax.stop_gradient(out["y_adv3"])
-            a2 = jax.lax.stop_gradient(out["y_adv2"])
+        def step_b_losses(y, advs):
+            """The fused ground-false maximization objective (Step B)."""
+            a3 = jax.lax.stop_gradient(advs["y_adv3"])
+            a2 = jax.lax.stop_gradient(advs["y_adv2"])
             hm_full = y.shape[1:3]  # 64x64 at the reference config
-            hm_half = out["y_adv2"].shape[1:3]
+            hm_half = advs["y_adv2"].shape[1:3]
             t64 = 0.5 * upsample_bilinear(a3, hm_full) + upsample_bilinear(
                 a2, hm_full
             )
             t32 = upsample_bilinear(a3, hm_half)
             l1 = disparity.rd_16(
-                y, out["y_adv3"], w_t, "max", use_pallas=use_pallas_labels
+                y, advs["y_adv3"], w_t, "max", use_pallas=use_pallas_labels
             )
             l2 = disparity.rd_64(
-                y, out["y_adv"], t64, w_t, "max", use_pallas=use_pallas_labels
+                y, advs["y_adv"], t64, w_t, "max", use_pallas=use_pallas_labels
             )
             l3 = disparity.rd_32(
-                y, out["y_adv2"], t32, w_t, "max", use_pallas=use_pallas_labels
+                y, advs["y_adv2"], t32, w_t, "max", use_pallas=use_pallas_labels
             )
-            return trade_off * (0.3 * l1 + 1.0 * l2 + 0.3 * l3), bs
+            return trade_off * (0.3 * l1 + 1.0 * l2 + 0.3 * l3)
 
-        adv_params, frozen = split_params(params, adv_keys)
-        (loss_gf, bs), grads_b = jax.value_and_grad(loss_b, has_aux=True)(
-            adv_params, frozen, bs
-        )
-        params, opt = apply_partition_updates(
-            tx, params, opt, grads_b, lr, ("h_adv", "h_adv2", "h_adv3"),
-            DA_PARTITIONS,
-        )
-
-        # ---- Step C: feature extractor minimizes disparity (λ-scaled) ----
-        f_keys = ("backbone", "upsampling")
-
-        def loss_c(f_params, frozen, batch_stats):
-            out, bs = forward({**f_params, **frozen}, batch_stats, x_t, lam)
-            y = out["y"]
+        def step_c_losses(y, advs):
+            """The disparity minimization objective (Step C)."""
             l1 = disparity.rd_32(
-                y, out["y_adv2"], None, w_t, "min", use_pallas=use_pallas_labels
+                y, advs["y_adv2"], None, w_t, "min", use_pallas=use_pallas_labels
             )
             l2 = disparity.rd_64(
-                y, out["y_adv"], None, w_t, "min", use_pallas=use_pallas_labels
+                y, advs["y_adv"], None, w_t, "min", use_pallas=use_pallas_labels
             )
-            return trade_off * (0.3 * l1 + 1.0 * l2), (bs, out)
+            return trade_off * (0.3 * l1 + 1.0 * l2)
 
-        f_params, frozen = split_params(params, f_keys)
-        (loss_gt, (bs, out_t)), grads_c = jax.value_and_grad(loss_c, has_aux=True)(
-            f_params, frozen, bs
-        )
-        params, opt = apply_partition_updates(
-            tx, params, opt, grads_c, lr, ("f",), DA_PARTITIONS
-        )
+        if share_target_features:
+            # B only steps the adversarial heads, so the backbone/upsampling
+            # features AND the main-head heatmap of the target batch are
+            # identical in the reference's B and C forwards — compute each
+            # once. jax.vjp at the feature map is Step C's gradient cut.
+            f_params, rest_params = split_params(params, f_keys)
+            bs_a = bs  # full tree, post-Step-A
+
+            def feat_fwd(fp):
+                f, upd = model.apply(
+                    {"params": {**fp, **rest_params}, "batch_stats": bs_a},
+                    x_t, train=True, method="features",
+                    mutable=["batch_stats"],
+                )
+                return f, dict(upd["batch_stats"])
+
+            f_t, f_vjp, bs_b = jax.vjp(feat_fwd, f_params, has_aux=True)
+            f_sg = jax.lax.stop_gradient(f_t)
+
+            y_t, upd = model.apply(
+                {"params": params, "batch_stats": bs_b}, f_sg, train=True,
+                method="main_head", mutable=["batch_stats"],
+            )
+            y_t = jax.lax.stop_gradient(y_t)
+            bs_b = dict(upd["batch_stats"])
+
+            def loss_b(adv_params, frozen, batch_stats):
+                advs, upd = model.apply(
+                    {"params": {**adv_params, **frozen},
+                     "batch_stats": batch_stats},
+                    f_sg, train=True, gl_coeff=lam, method="adv_heads",
+                    mutable=["batch_stats"],
+                )
+                return step_b_losses(y_t, advs), dict(upd["batch_stats"])
+
+            adv_params, frozen = split_params(params, adv_keys)
+            (loss_gf, bs_b), grads_b = jax.value_and_grad(
+                loss_b, has_aux=True
+            )(adv_params, frozen, bs_b)
+            params, opt = apply_partition_updates(
+                tx, params, opt, grads_b, lr, ("h_adv", "h_adv2", "h_adv3"),
+                DA_PARTITIONS,
+            )
+
+            def loss_c(f_):
+                advs, upd = model.apply(
+                    {"params": params, "batch_stats": bs_b}, f_, train=True,
+                    gl_coeff=lam, method="adv_heads", mutable=["batch_stats"],
+                )
+                return (
+                    step_c_losses(y_t, advs),
+                    (dict(upd["batch_stats"]), advs),
+                )
+
+            (loss_gt, (bs_c, advs_t)), g_f = jax.value_and_grad(
+                loss_c, has_aux=True
+            )(f_t)
+            (grads_c,) = f_vjp(g_f)
+            params, opt = apply_partition_updates(
+                tx, params, opt, grads_c, lr, ("f",), DA_PARTITIONS
+            )
+            out_t = {"y": y_t, **advs_t}
+
+            # shared modules ran once but the reference's running stats
+            # advanced twice with identical batch statistics:
+            # r1 = (1-m)·r0 + m·s  ⇒  r2 = (2-m)·r1 - (1-m)·r0.
+            keep = 1.0 - bn_momentum
+            bs = dict(bs_c)
+            for k in (*f_keys, "head"):
+                bs[k] = jax.tree.map(
+                    lambda r1, r0: (1.0 + keep) * r1 - keep * r0,
+                    bs_b[k], bs_a[k],
+                )
+        else:
+            def loss_b(adv_params, frozen, batch_stats):
+                out, bs = forward(
+                    {**adv_params, **frozen}, batch_stats, x_t, lam
+                )
+                return step_b_losses(out["y"], out), bs
+
+            adv_params, frozen = split_params(params, adv_keys)
+            (loss_gf, bs), grads_b = jax.value_and_grad(loss_b, has_aux=True)(
+                adv_params, frozen, bs
+            )
+            params, opt = apply_partition_updates(
+                tx, params, opt, grads_b, lr, ("h_adv", "h_adv2", "h_adv3"),
+                DA_PARTITIONS,
+            )
+
+            def loss_c(f_params, frozen, batch_stats):
+                out, bs = forward(
+                    {**f_params, **frozen}, batch_stats, x_t, lam
+                )
+                return step_c_losses(out["y"], out), (bs, out)
+
+            f_params, frozen = split_params(params, f_keys)
+            (loss_gt, (bs, out_t)), grads_c = jax.value_and_grad(
+                loss_c, has_aux=True
+            )(f_params, frozen, bs)
+            params, opt = apply_partition_updates(
+                tx, params, opt, grads_c, lr, ("f",), DA_PARTITIONS
+            )
 
         ema_params, ema_bs = state.ema_params, state.ema_batch_stats
         if ema_decay is not None and ema_params is not None:
