@@ -81,40 +81,69 @@ class DeviceDataStore:
         s = self.raw_size
 
         row_spec = P(axis) if shard_samples else P()
-
-        def alloc(shape, dtype):
-            sharding = NamedSharding(mesh, row_spec)
-            return jax.jit(
-                lambda: jnp.zeros(shape, dtype), out_shardings=sharding
-            )()
-
-        images = alloc((self.n, s, s, 3), jnp.uint8)
-        kps = alloc((self.n, k, 2), jnp.float32)
-        vis = alloc((self.n, k), jnp.float32)
-        intr = alloc((self.n, 3, 3), jnp.float32)
-
+        sharding = NamedSharding(mesh, row_spec)
         rng = np.random.default_rng(0)  # fetch_raw does not consume it
-        for start in range(0, self.n, upload_chunk):
-            stop = min(start + upload_chunk, self.n)
-            items = [source.fetch_raw(i, rng, s) for i in range(start, stop)]
-            images = _write_chunk(
-                images, jnp.asarray(np.stack([x["image_u8"] for x in items])),
-                start)
-            kps = _write_chunk(
-                kps, jnp.asarray(np.stack([x["keypoint2d"] for x in items])),
-                start)
-            vis = _write_chunk(
-                vis,
-                jnp.asarray(
-                    np.stack([x["visible"] for x in items]).reshape(-1, k)
-                ),
-                start)
-            intr = _write_chunk(
-                intr,
-                jnp.asarray(np.stack([x["intrinsic_matrix"] for x in items])),
-                start)
-            if verbose and start // upload_chunk % 8 == 0:
-                print(f"device-store upload: {stop}/{self.n}", flush=True)
+
+        def fetch_range(lo: int, hi: int):
+            imgs = np.empty((hi - lo, s, s, 3), np.uint8)
+            kp = np.empty((hi - lo, k, 2), np.float32)
+            vi = np.empty((hi - lo, k), np.float32)
+            it = np.empty((hi - lo, 3, 3), np.float32)
+            for j, i in enumerate(range(lo, hi)):
+                item = source.fetch_raw(i, rng, s)
+                imgs[j] = item["image_u8"]
+                kp[j] = item["keypoint2d"]
+                vi[j] = np.reshape(item["visible"], (k,))
+                it[j] = item["intrinsic_matrix"]
+            return imgs, kp, vi, it
+
+        if jax.process_count() > 1:
+            # multi-host: every process decodes and uploads ONLY the rows its
+            # own devices hold; the global arrays are assembled from the
+            # per-device pieces without any host ever seeing the full set.
+            devs = list(mesh.devices.ravel())
+            rows_per = self.n // len(devs) if shard_samples else self.n
+            per_field: list[list] = [[], [], [], []]
+            full = None
+            for di, dev in enumerate(devs):
+                if dev.process_index != jax.process_index():
+                    continue
+                if shard_samples:
+                    bufs = fetch_range(di * rows_per, (di + 1) * rows_per)
+                else:  # replicated store: each device holds every row
+                    if full is None:
+                        full = fetch_range(0, self.n)
+                    bufs = full
+                for field, buf in zip(per_field, bufs):
+                    field.append(jax.device_put(buf, dev))
+                if verbose and jax.process_index() == 0:
+                    print(f"device-store upload: device {di}", flush=True)
+            shapes = ((self.n, s, s, 3), (self.n, k, 2), (self.n, k),
+                      (self.n, 3, 3))
+            images, kps, vis, intr = (
+                jax.make_array_from_single_device_arrays(shape, sharding, arrs)
+                for shape, arrs in zip(shapes, per_field)
+            )
+        else:
+            def alloc(shape, dtype):
+                return jax.jit(
+                    lambda: jnp.zeros(shape, dtype), out_shardings=sharding
+                )()
+
+            images = alloc((self.n, s, s, 3), jnp.uint8)
+            kps = alloc((self.n, k, 2), jnp.float32)
+            vis = alloc((self.n, k), jnp.float32)
+            intr = alloc((self.n, 3, 3), jnp.float32)
+
+            for start in range(0, self.n, upload_chunk):
+                stop = min(start + upload_chunk, self.n)
+                imgs, kp, vi, it = fetch_range(start, stop)
+                images = _write_chunk(images, jnp.asarray(imgs), start)
+                kps = _write_chunk(kps, jnp.asarray(kp), start)
+                vis = _write_chunk(vis, jnp.asarray(vi), start)
+                intr = _write_chunk(intr, jnp.asarray(it), start)
+                if verbose and start // upload_chunk % 8 == 0:
+                    print(f"device-store upload: {stop}/{self.n}", flush=True)
         jax.block_until_ready(images)
         self.images, self.kps, self.vis, self.intr = images, kps, vis, intr
         self._train_batch_fn = None
@@ -144,9 +173,11 @@ class DeviceDataStore:
         local_b = batch_size // d
         local_n = self.n // d
 
-        def shard_fn(images, kps, vis, intr, key):
-            # per-device stream: fold in the device's position on the axis
-            key = jax.random.fold_in(key[0], jax.lax.axis_index(axis))
+        def shard_fn(images, kps, vis, intr, key_data):
+            # per-device stream from ONE replicated key: fold in the device's
+            # position on the axis (process-layout independent, multi-host ok)
+            key = jax.random.wrap_key_data(key_data)
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
             idx = jax.random.choice(
                 key, local_n, shape=(local_b,), replace=False
             )
@@ -167,7 +198,7 @@ class DeviceDataStore:
 
         fn = shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
             out_specs={"image": P(axis), "target": P(axis), "weight": P(axis)},
         )
         return jax.jit(fn)
@@ -206,12 +237,15 @@ class DeviceDataStore:
         if self._train_batch_fn is None or self._train_batch_cfg != cfg:
             self._train_batch_fn = self._build_train_batch(*cfg[:3], *cfg[3:])
             self._train_batch_cfg = cfg
-        d = self.mesh.shape[self.axis]
-        keys = jax.random.split(key, d)  # one key row per device shard
-        keys = jax.device_put(
-            keys, NamedSharding(self.mesh, P(self.axis)))
+        key_data = np.asarray(jax.random.key_data(key), np.uint32)
+        if jax.process_count() > 1:
+            from dahpe_tpu.parallel.mesh import replicate
+
+            kd = replicate(key_data, self.mesh)
+        else:
+            kd = jax.device_put(key_data, NamedSharding(self.mesh, P()))
         return self._train_batch_fn(
-            self.images, self.kps, self.vis, self.intr, keys
+            self.images, self.kps, self.vis, self.intr, kd
         )
 
 class _DeviceEvalLoader:

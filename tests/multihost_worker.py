@@ -88,6 +88,33 @@ def main():
         flush=True,
     )
 
+    if len(sys.argv) > 5:
+        # device-store section: each process uploads only its devices' rows;
+        # the sampled global training batch must match the single-process
+        # mesh value (the parent computes it) — proven via global checksums.
+        fixture_root = sys.argv[5]
+        from dahpe_tpu.data import DecodedCache, RenderedHandPose
+        from dahpe_tpu.data.device_store import DeviceDataStore
+
+        ds = RenderedHandPose(fixture_root, split="train", transforms=None)
+        cache = DecodedCache(
+            ds, os.path.join(fixture_root, "_cache64"), raw_size=64
+        )
+        store = DeviceDataStore(
+            cache, mesh=mesh, raw_size=64, verbose=False
+        )
+        batch = store.train_batch(
+            jax.random.key(5), batch_size=2 * n_global, image_size=64,
+            heatmap_size=16,
+        )
+        sums = [
+            float(jnp.sum(batch[k].astype(jnp.float32)))
+            for k in ("image", "target", "weight")
+        ]
+        print(
+            "STORE " + " ".join(f"{v:.6f}" for v in sums), flush=True
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -79,11 +79,11 @@ def test_batch_rows_come_from_own_shard(cache):
     local_n = store.n // d
     kps = np.asarray(store.kps)
 
-    # sample indices exactly as train_batch does, reproduced on host
-    keys = jax.random.split(jax.random.key(3), d)
+    # sample indices exactly as train_batch does, reproduced on host:
+    # one replicated key, folded with the device's axis position
     per_dev = 4
     for dev in range(d):
-        key = jax.random.fold_in(keys[dev], dev)
+        key = jax.random.fold_in(jax.random.key(3), dev)
         idx = np.asarray(jax.random.choice(key, local_n, (per_dev,), replace=False))
         shard_rows = kps[dev * local_n : (dev + 1) * local_n]
         for i in idx:

@@ -28,7 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers():
+def _run_workers(extra_args=()):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = {
@@ -46,6 +46,7 @@ def _run_workers():
                 str(NUM_PROCESSES),
                 str(pid),
                 str(LOCAL_DEVICES),
+                *extra_args,
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -126,3 +127,57 @@ def test_two_process_da_step_matches_single_process():
     # cross-process psum may reduce in a different association order than the
     # single-process all-reduce; tolerance covers float32 reassociation only
     np.testing.assert_allclose(losses[0], expected, rtol=2e-5)
+
+
+def _parse_store(out: str) -> np.ndarray:
+    for line in out.splitlines():
+        if line.startswith("STORE "):
+            return np.array([float(v) for v in line.split()[1:]])
+    raise AssertionError(f"no STORE line in worker output:\n{out}")
+
+
+def _single_process_store_sums(fixture_root: str) -> np.ndarray:
+    """Same sampled global batch on a single-process 4-device mesh."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from dahpe_tpu.data import DecodedCache, RenderedHandPose
+    from dahpe_tpu.data.device_store import DeviceDataStore
+    from dahpe_tpu.parallel import create_mesh
+
+    n_global = NUM_PROCESSES * LOCAL_DEVICES
+    mesh = create_mesh(jax.devices()[:n_global])
+    ds = RenderedHandPose(fixture_root, split="train", transforms=None)
+    cache = DecodedCache(
+        ds, os.path.join(fixture_root, "_cache64"), raw_size=64
+    )
+    store = DeviceDataStore(cache, mesh=mesh, raw_size=64, verbose=False)
+    batch = store.train_batch(
+        jax.random.key(5), batch_size=2 * n_global, image_size=64,
+        heatmap_size=16,
+    )
+    return np.array(
+        [
+            float(jnp.sum(batch[k].astype(jnp.float32)))
+            for k in ("image", "target", "weight")
+        ]
+    )
+
+
+@pytest.mark.slow
+def test_two_process_device_store_matches_single_process(tmp_path):
+    """Multi-host device store: per-process shard upload + replicated-key
+    sampling must produce the identical global training batch regardless of
+    process layout (sampling folds in the device's mesh position, not the
+    process)."""
+    from tests.fixtures import make_rhd_fixture
+
+    root = str(tmp_path / "rhd")
+    make_rhd_fixture(root, n=16)
+    expected = _single_process_store_sums(root)  # also pre-builds the cache
+    outs = _run_workers(extra_args=(root,))
+    sums = [_parse_store(out) for out in outs]
+    np.testing.assert_allclose(sums[0], sums[1], rtol=0, atol=0)
+    np.testing.assert_allclose(sums[0], expected, rtol=2e-5)
