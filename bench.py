@@ -125,7 +125,6 @@ def bench_train_e2e(batch: int = 32, iters: int = 20) -> None:
     from dahpe_tpu.data import DecodedCache, RenderedHandPose
     from dahpe_tpu.data.device_store import DeviceDataStore
     from dahpe_tpu.train import create_da_state, make_da_train_step
-    from dahpe_tpu.train.rng import iter_keys
 
     root = tempfile.mkdtemp(prefix="dahpe_bench_")
     try:
@@ -142,11 +141,11 @@ def bench_train_e2e(batch: int = 32, iters: int = 20) -> None:
         state = create_da_state(model, jax.random.key(0), image_size=256,
                                 batch_size=batch)
         step = jax.jit(make_da_train_step(model, compute_metrics=False))
-        keys = iter_keys(jax.random.key(0))
+        store.seed_stream(jax.random.key(0))
 
         def one_iter(state):
-            b_s = store.train_batch(next(keys), batch)
-            b_t = store.train_batch(next(keys), batch)
+            b_s = store.next_train_batch(batch)
+            b_t = store.next_train_batch(batch)
             return step(state, b_s, b_t)
 
         state, m = one_iter(state)  # compile

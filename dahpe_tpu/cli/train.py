@@ -72,11 +72,11 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
 
         step_fn = make_parallel_pretrain_step(model, mesh)
         state = replicate(state, mesh)
-        keys = iter_keys(jax.random.key(args.seed + 7))
+        source_store.seed_stream(jax.random.key(args.seed + 7))
 
         def next_batch():
-            return source_store.train_batch(
-                next(keys), args.batch_size, image_size=args.image_size,
+            return source_store.next_train_batch(
+                args.batch_size, image_size=args.image_size,
                 heatmap_size=args.heatmap_size, rotation=args.rotation,
                 scale_range=tuple(args.resize_scale),
             )
@@ -295,15 +295,21 @@ def main(args):
     state = replicate(state, mesh)
 
     aug_keys = (
-        iter_keys(jax.random.key(args.seed))
-        if (args.device_aug or args.device_store) else None
+        iter_keys(jax.random.key(args.seed)) if args.device_aug else None
     )
 
     if args.device_store:
-        def make_next_batch(store):
+        # one seed upload per store; every iteration's sampling/augmentation
+        # key then advances on device (the tunnel's per-transfer latency
+        # would otherwise gate the loop — see device_store.seed_stream)
+        def make_next_batch(store, stream_id):
+            store.seed_stream(
+                jax.random.fold_in(jax.random.key(args.seed), stream_id)
+            )
+
             def next_batch():
-                return store.train_batch(
-                    next(aug_keys), args.batch_size,
+                return store.next_train_batch(
+                    args.batch_size,
                     image_size=args.image_size,
                     heatmap_size=args.heatmap_size,
                     rotation=args.rotation,
@@ -311,8 +317,8 @@ def main(args):
                 )
             return next_batch
 
-        next_source = make_next_batch(stores["source"])
-        next_target = make_next_batch(stores["target"])
+        next_source = make_next_batch(stores["source"], 0)
+        next_target = make_next_batch(stores["target"], 1)
     else:
         if args.device_aug:
             from dahpe_tpu.data.pipeline import device_train_batch

@@ -148,6 +148,7 @@ class DeviceDataStore:
         self.images, self.kps, self.vis, self.intr = images, kps, vis, intr
         self._train_batch_fn = None
         self._train_batch_cfg = None
+        self._stream = None  # device-resident sampling key (seed_stream)
 
     def nbytes(self) -> int:
         return sum(
@@ -196,12 +197,27 @@ class DeviceDataStore:
             )
             return {"image": img, "target": target, "weight": weight}
 
-        fn = shard_map(
+        tiled = shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
             out_specs={"image": P(axis), "target": P(axis), "weight": P(axis)},
         )
-        return jax.jit(fn)
+
+        @jax.jit
+        def one_shot(images, kps, vis, intr, key_data):
+            return tiled(images, kps, vis, intr, key_data)
+
+        @partial(jax.jit, donate_argnums=(4,))
+        def streaming(images, kps, vis, intr, key_data):
+            # advance the key ON DEVICE: through a high-latency transport
+            # (tunneled TPU: ~26 ms/transfer, no pipelining) a per-iteration
+            # host key upload would gate the whole training loop.
+            key = jax.random.wrap_key_data(key_data)
+            next_key, sub = jax.random.split(key)
+            batch = tiled(images, kps, vis, intr, jax.random.key_data(sub))
+            return batch, jax.random.key_data(next_key)
+
+        return one_shot, streaming
 
     def eval_loader(self, batch_size: int, *, heatmap_size: int = 64,
                     sigma: float = 2.0):
@@ -224,29 +240,59 @@ class DeviceDataStore:
             )
         return _DeviceEvalLoader(self, batch_size, heatmap_size, sigma)
 
-    def train_batch(self, key, batch_size: int, *, image_size: int = 256,
-                    heatmap_size: int = 64, rotation: float = 180.0,
-                    scale_range=(0.6, 1.3), sigma: float = 2.0) -> dict:
-        """One fully on-device training batch: gather + augment + targets.
-
-        ``key`` drives both the sample choice and the augmentation; pass a
-        fresh fold per iteration (``iter_keys``).
-        """
+    def _fns(self, batch_size: int, image_size: int, heatmap_size: int,
+             rotation: float, scale_range, sigma: float):
         cfg = (batch_size, image_size, heatmap_size, float(rotation),
                tuple(scale_range), float(sigma))
         if self._train_batch_fn is None or self._train_batch_cfg != cfg:
             self._train_batch_fn = self._build_train_batch(*cfg[:3], *cfg[3:])
             self._train_batch_cfg = cfg
+        return self._train_batch_fn
+
+    def _put_key(self, key):
         key_data = np.asarray(jax.random.key_data(key), np.uint32)
         if jax.process_count() > 1:
             from dahpe_tpu.parallel.mesh import replicate
 
-            kd = replicate(key_data, self.mesh)
-        else:
-            kd = jax.device_put(key_data, NamedSharding(self.mesh, P()))
-        return self._train_batch_fn(
-            self.images, self.kps, self.vis, self.intr, kd
+            return replicate(key_data, self.mesh)
+        return jax.device_put(key_data, NamedSharding(self.mesh, P()))
+
+    def train_batch(self, key, batch_size: int, *, image_size: int = 256,
+                    heatmap_size: int = 64, rotation: float = 180.0,
+                    scale_range=(0.6, 1.3), sigma: float = 2.0) -> dict:
+        """One fully on-device training batch: gather + augment + targets.
+
+        ``key`` drives both the sample choice and the augmentation — an
+        explicit-key entry for tests and one-shot use. The training loop
+        should prefer :meth:`seed_stream` + :meth:`next_train_batch`, which
+        never touch the host after the seed upload.
+        """
+        one_shot, _ = self._fns(batch_size, image_size, heatmap_size,
+                                rotation, scale_range, sigma)
+        return one_shot(
+            self.images, self.kps, self.vis, self.intr, self._put_key(key)
         )
+
+    def seed_stream(self, key) -> None:
+        """Upload the batch-sampling key ONCE; :meth:`next_train_batch` then
+        advances it entirely on device (``jax.random.split`` inside the same
+        jitted program, donated buffer), so steady-state training does zero
+        host→device transfers per iteration."""
+        self._stream = self._put_key(key)
+
+    def next_train_batch(self, batch_size: int, *, image_size: int = 256,
+                         heatmap_size: int = 64, rotation: float = 180.0,
+                         scale_range=(0.6, 1.3), sigma: float = 2.0) -> dict:
+        """One on-device training batch from the device-resident key stream
+        (deterministic in the :meth:`seed_stream` key)."""
+        if getattr(self, "_stream", None) is None:
+            raise ValueError("call seed_stream(key) before next_train_batch")
+        _, streaming = self._fns(batch_size, image_size, heatmap_size,
+                                 rotation, scale_range, sigma)
+        batch, self._stream = streaming(
+            self.images, self.kps, self.vis, self.intr, self._stream
+        )
+        return batch
 
 class _DeviceEvalLoader:
     """Sequential, fixed-shape validation batches straight from HBM."""

@@ -91,6 +91,31 @@ def test_batch_rows_come_from_own_shard(cache):
             assert np.isfinite(shard_rows[i]).all()
 
 
+def test_stream_batches_deterministic_and_device_resident(cache):
+    """seed_stream + next_train_batch: the key advances on device (no host
+    re-upload), successive batches differ, and reseeding reproduces the
+    sequence bit-for-bit."""
+    mesh = create_mesh()
+    store = DeviceDataStore(cache, mesh=mesh, verbose=False)
+    d = mesh.shape["data"]
+    kw = dict(batch_size=2 * d, image_size=64, heatmap_size=16)
+
+    store.seed_stream(jax.random.key(9))
+    b1 = store.next_train_batch(**kw)
+    b2 = store.next_train_batch(**kw)
+    assert b1["image"].shape == (2 * d, 64, 64, 3)
+    assert not np.array_equal(np.asarray(b1["image"]), np.asarray(b2["image"]))
+
+    store.seed_stream(jax.random.key(9))
+    r1 = store.next_train_batch(**kw)
+    r2 = store.next_train_batch(**kw)
+    np.testing.assert_array_equal(np.asarray(r1["image"]), np.asarray(b1["image"]))
+    np.testing.assert_array_equal(np.asarray(r2["target"]), np.asarray(b2["target"]))
+
+    with pytest.raises(ValueError):
+        DeviceDataStore(cache, mesh=mesh, verbose=False).next_train_batch(**kw)
+
+
 def test_batch_not_divisible_raises(cache):
     mesh = create_mesh()
     store = DeviceDataStore(cache, mesh=mesh, verbose=False)
