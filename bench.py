@@ -107,11 +107,14 @@ def bench_train_step(batch: int = 32) -> None:
     )
 
 
-def bench_train_e2e(batch: int = 32, iters: int = 20) -> None:
+def bench_train_e2e(batch: int = 32, iters: int = 20,
+                    fused: bool = True) -> None:
     """Whole-system DA training iteration on one chip with the
     device-resident store: on-device sample gather + fused augmentation +
     Gaussian targets + the 3-phase DA step — the ``--device-store
-    --decoded-cache`` CLI path's steady state, nothing hidden."""
+    --decoded-cache`` CLI path's steady state, nothing hidden. ``fused``
+    runs the production single-dispatch program (``train/fused.py``);
+    ``fused=False`` measures the three-dispatch path for comparison."""
     import shutil
     import tempfile
 
@@ -124,7 +127,12 @@ def bench_train_e2e(batch: int = 32, iters: int = 20) -> None:
     from dahpe_tpu import models
     from dahpe_tpu.data import DecodedCache, RenderedHandPose
     from dahpe_tpu.data.device_store import DeviceDataStore
-    from dahpe_tpu.train import create_da_state, make_da_train_step
+    from dahpe_tpu.train import (
+        create_da_state,
+        make_da_train_step,
+        make_fused_da_iteration,
+        seed_key,
+    )
 
     root = tempfile.mkdtemp(prefix="dahpe_bench_")
     try:
@@ -140,13 +148,24 @@ def bench_train_e2e(batch: int = 32, iters: int = 20) -> None:
         print(f"init DA state (batch {batch})", file=sys.stderr)
         state = create_da_state(model, jax.random.key(0), image_size=256,
                                 batch_size=batch)
-        step = jax.jit(make_da_train_step(model, compute_metrics=False))
-        store.seed_stream(jax.random.key(0))
+        if fused:
+            fused_it = make_fused_da_iteration(
+                model, store.mesh, store, store, batch,
+                compute_metrics=False,
+            )
+            keys = [seed_key(store.mesh, jax.random.key(i)) for i in (0, 1)]
 
-        def one_iter(state):
-            b_s = store.next_train_batch(batch)
-            b_t = store.next_train_batch(batch)
-            return step(state, b_s, b_t)
+            def one_iter(state):
+                state, m, keys[0], keys[1] = fused_it(state, keys[0], keys[1])
+                return state, m
+        else:
+            step = jax.jit(make_da_train_step(model, compute_metrics=False))
+            store.seed_stream(jax.random.key(0))
+
+            def one_iter(state):
+                b_s = store.next_train_batch(batch)
+                b_t = store.next_train_batch(batch)
+                return step(state, b_s, b_t)
 
         state, m = one_iter(state)  # compile
         float(m["loss_s"])
@@ -322,7 +341,10 @@ def main() -> None:
         bench_train_step(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "e2e":
-        bench_train_e2e(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
+        bench_train_e2e(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 32,
+            fused="unfused" not in sys.argv[2:],
+        )
         return
 
     # batch sweep on v5e (r2): 64->4644, 96->5075, 128->5000, 160->4484,

@@ -68,18 +68,22 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
             batch_stats=dict(variables["batch_stats"]),
         )
     if source_store is not None:
-        from dahpe_tpu.parallel import make_parallel_pretrain_step
+        # one fused program per iteration: on-device gather + augmentation +
+        # targets + the supervised step, single dispatch (train/fused.py)
+        from dahpe_tpu.train import make_fused_pretrain_iteration, seed_key
 
-        step_fn = make_parallel_pretrain_step(model, mesh)
+        fused = make_fused_pretrain_iteration(
+            model, mesh, source_store, args.batch_size,
+            image_size=args.image_size, heatmap_size=args.heatmap_size,
+            rotation=args.rotation, scale_range=tuple(args.resize_scale),
+        )
         state = replicate(state, mesh)
-        source_store.seed_stream(jax.random.key(args.seed + 7))
+        key_buf = seed_key(mesh, jax.random.key(args.seed + 7))
 
-        def next_batch():
-            return source_store.next_train_batch(
-                args.batch_size, image_size=args.image_size,
-                heatmap_size=args.heatmap_size, rotation=args.rotation,
-                scale_range=tuple(args.resize_scale),
-            )
+        def run_iteration(state, lr):
+            nonlocal key_buf
+            state, metrics, key_buf = fused(state, key_buf, lr)
+            return state, metrics
     else:
         step_fn = jax.jit(make_pretrain_step(model))
         source_iter = ForeverIterator(lambda: iter(train_source_loader))
@@ -90,6 +94,9 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
                 heatmap_size=(args.heatmap_size,) * 2,
                 image_size=(args.image_size,) * 2,
             )
+
+        def run_iteration(state, lr):
+            return step_fn(state, next_batch(), lr)
     eval_step = make_eval_step(model)
     pretrain_path = logger.get_checkpoint_path("pretrain")
     # the reference starts at 0 (train1.py:165) and would never write the
@@ -101,6 +108,9 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
             epoch, milestones=tuple(args.lr_step), factor=args.lr_factor
         )
         print(f"pretrain epoch {epoch} lr {lr:.2e}")
+        # one upload per epoch; a per-iteration host scalar would cost a
+        # full transport round-trip every step
+        lr_dev = jnp.asarray(lr, jnp.float32)
         batch_time = AverageMeter("Time", ":4.2f")
         losses = AverageMeter("Loss (s)", ":.2e")
         accs = AverageMeter("Acc (s)", ":3.2f")
@@ -110,7 +120,7 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
         )
         end = time.time()
         for i in range(args.iters_per_epoch):
-            state, metrics = step_fn(state, next_batch(), jnp.asarray(lr))
+            state, metrics = run_iteration(state, lr_dev)
             if i % args.print_freq == 0:
                 losses.update(float(metrics["loss_s"]))
                 accs.update(float(metrics["acc_s"]))
@@ -286,8 +296,7 @@ def main(args):
         return
 
     # --- DA training over the device mesh --------------------------------
-    step_fn = make_parallel_da_step(
-        model, mesh,
+    step_config = dict(
         base_lr=args.lr, lr_gamma=args.lr_gamma, lr_decay=args.lr_decay,
         trade_off=args.trade_off, momentum=args.momentum, weight_decay=args.wd,
         ema_decay=args.ema_decay if args.with_ema else None,
@@ -298,10 +307,36 @@ def main(args):
         iter_keys(jax.random.key(args.seed)) if args.device_aug else None
     )
 
-    if args.device_store:
+    if args.device_store and not args.debug:
+        # ONE dispatch per iteration: both stores' on-device gather +
+        # augmentation + targets AND the 3-phase step in a single jitted
+        # program, sampling keys advancing inside it (train/fused.py).
+        # --debug falls back to the two-dispatch path below because its
+        # visualization needs the batches on the host.
+        from dahpe_tpu.train import make_fused_da_iteration, seed_key
+
+        fused = make_fused_da_iteration(
+            model, mesh, stores["source"], stores["target"], args.batch_size,
+            image_size=args.image_size, heatmap_size=args.heatmap_size,
+            rotation=args.rotation, scale_range=tuple(args.resize_scale),
+            **step_config,
+        )
+        key_bufs = [
+            seed_key(mesh, jax.random.fold_in(jax.random.key(args.seed), i))
+            for i in (0, 1)
+        ]
+
+        def run_iteration(state):
+            state, metrics, key_bufs[0], key_bufs[1] = fused(
+                state, key_bufs[0], key_bufs[1]
+            )
+            return state, metrics, None, None
+    elif args.device_store:
         # one seed upload per store; every iteration's sampling/augmentation
         # key then advances on device (the tunnel's per-transfer latency
         # would otherwise gate the loop — see device_store.seed_stream)
+        step_fn = make_parallel_da_step(model, mesh, **step_config)
+
         def make_next_batch(store, stream_id):
             store.seed_stream(
                 jax.random.fold_in(jax.random.key(args.seed), stream_id)
@@ -320,6 +355,7 @@ def main(args):
         next_source = make_next_batch(stores["source"], 0)
         next_target = make_next_batch(stores["target"], 1)
     else:
+        step_fn = make_parallel_da_step(model, mesh, **step_config)
         if args.device_aug:
             from dahpe_tpu.data.pipeline import device_train_batch
 
@@ -346,6 +382,12 @@ def main(args):
         next_source = lambda: next_batch(source_iter)  # noqa: E731
         next_target = lambda: next_batch(target_iter)  # noqa: E731
 
+    if not (args.device_store and not args.debug):
+        def run_iteration(state):
+            b_s, b_t = next_source(), next_target()
+            state, metrics = step_fn(state, b_s, b_t)
+            return state, metrics, b_s, b_t
+
     best_acc = float("-inf")
     print("Start regression domain adaptation.")
     for epoch in range(start_epoch, args.epochs):
@@ -363,8 +405,7 @@ def main(args):
         )
         end = time.time()
         for i in range(args.iters_per_epoch):
-            b_s, b_t = next_source(), next_target()
-            state, metrics = step_fn(state, b_s, b_t)
+            state, metrics, b_s, b_t = run_iteration(state)
             if i % args.print_freq == 0:
                 losses_s.update(float(metrics["loss_s"]))
                 losses_gf.update(float(metrics["loss_gf"]))

@@ -217,7 +217,7 @@ class DeviceDataStore:
             batch = tiled(images, kps, vis, intr, jax.random.key_data(sub))
             return batch, jax.random.key_data(next_key)
 
-        return one_shot, streaming
+        return tiled, one_shot, streaming
 
     def eval_loader(self, batch_size: int, *, heatmap_size: int = 64,
                     sigma: float = 2.0):
@@ -267,11 +267,28 @@ class DeviceDataStore:
         should prefer :meth:`seed_stream` + :meth:`next_train_batch`, which
         never touch the host after the seed upload.
         """
-        one_shot, _ = self._fns(batch_size, image_size, heatmap_size,
-                                rotation, scale_range, sigma)
+        _, one_shot, _ = self._fns(batch_size, image_size, heatmap_size,
+                                   rotation, scale_range, sigma)
         return one_shot(
             self.images, self.kps, self.vis, self.intr, self._put_key(key)
         )
+
+    def traced_batch_fn(self, batch_size: int, *, image_size: int = 256,
+                        heatmap_size: int = 64, rotation: float = 180.0,
+                        scale_range=(0.6, 1.3), sigma: float = 2.0):
+        """The un-jitted batch producer ``key_data -> batch`` for composing
+        into a LARGER jitted program (``train.fused``): one dispatch can then
+        carry sample gather + augmentation + targets + the train step. The
+        resident arrays are closed over (read-only jit constants — no copy).
+        Given the same sub-key, the output is bit-identical to
+        :meth:`train_batch`."""
+        tiled, _, _ = self._fns(batch_size, image_size, heatmap_size,
+                                rotation, scale_range, sigma)
+
+        def produce(key_data):
+            return tiled(self.images, self.kps, self.vis, self.intr, key_data)
+
+        return produce
 
     def seed_stream(self, key) -> None:
         """Upload the batch-sampling key ONCE; :meth:`next_train_batch` then
@@ -287,8 +304,8 @@ class DeviceDataStore:
         (deterministic in the :meth:`seed_stream` key)."""
         if getattr(self, "_stream", None) is None:
             raise ValueError("call seed_stream(key) before next_train_batch")
-        _, streaming = self._fns(batch_size, image_size, heatmap_size,
-                                 rotation, scale_range, sigma)
+        _, _, streaming = self._fns(batch_size, image_size, heatmap_size,
+                                    rotation, scale_range, sigma)
         batch, self._stream = streaming(
             self.images, self.kps, self.vis, self.intr, self._stream
         )

@@ -8,6 +8,11 @@ from dahpe_tpu.train.da import (
     make_da_train_step,
 )
 from dahpe_tpu.train.ema import ema_update
+from dahpe_tpu.train.fused import (
+    make_fused_da_iteration,
+    make_fused_pretrain_iteration,
+    seed_key,
+)
 from dahpe_tpu.train.pretrain import (
     PretrainState,
     create_pretrain_state,
@@ -23,6 +28,9 @@ __all__ = [
     "da_train_step",
     "make_da_train_step",
     "ema_update",
+    "make_fused_da_iteration",
+    "make_fused_pretrain_iteration",
+    "seed_key",
     "PretrainState",
     "create_pretrain_state",
     "make_pretrain_step",

@@ -1,0 +1,134 @@
+"""Whole-iteration fusion (``train/fused.py``): one dispatch must reproduce
+the separate store-batch + parallel-step path bit-for-bit under equal seeds.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.fixtures import make_rhd_fixture
+
+from dahpe_tpu import models
+from dahpe_tpu.data import DecodedCache, RenderedHandPose
+from dahpe_tpu.data.device_store import DeviceDataStore
+from dahpe_tpu.models.resnet import Bottleneck
+from dahpe_tpu.parallel import (
+    create_mesh,
+    make_parallel_da_step,
+    make_parallel_pretrain_step,
+    replicate,
+)
+from dahpe_tpu.train import (
+    create_da_state,
+    create_pretrain_state,
+    make_fused_da_iteration,
+    make_fused_pretrain_iteration,
+    seed_key,
+)
+
+K = 21
+IMG, HM = 64, 16
+
+
+@pytest.fixture(scope="module")
+def stores():
+    import tempfile
+
+    mesh = create_mesh()
+    roots = []
+    out = []
+    for seed in (0, 1):
+        root = tempfile.mkdtemp(prefix=f"fused_rhd{seed}_")
+        make_rhd_fixture(root, n=16, seed=seed)
+        ds = RenderedHandPose(root, split="train", transforms=None)
+        cache = DecodedCache(ds, root + "/_c")
+        out.append(DeviceDataStore(cache, mesh=mesh, verbose=False))
+        roots.append(root)
+    return mesh, out[0], out[1]
+
+
+def tiny_model():
+    backbone = models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1])
+    return models.MultiHeadPoseResNet(backbone=backbone, num_keypoints=K)
+
+
+def _params_equal(a, b):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_fused_da_iteration_matches_unfused(stores):
+    mesh, src, tgt = stores
+    d = mesh.shape["data"]
+    b = 2 * d
+    cfg = dict(image_size=IMG, heatmap_size=HM)
+    model = tiny_model()
+
+    def fresh_state():
+        return replicate(
+            create_da_state(model, jax.random.key(0), image_size=IMG,
+                            batch_size=b),
+            mesh,
+        )
+
+    # unfused: seed_stream + next_train_batch + parallel step
+    step = make_parallel_da_step(model, mesh, compute_metrics=False)
+    state_u = fresh_state()
+    src.seed_stream(jax.random.key(3))
+    tgt.seed_stream(jax.random.key(4))
+    for _ in range(2):
+        b_s = src.next_train_batch(b, **cfg)
+        b_t = tgt.next_train_batch(b, **cfg)
+        state_u, m_u = step(state_u, b_s, b_t)
+
+    # fused: one dispatch per iteration, same seeds
+    fused = make_fused_da_iteration(
+        model, mesh, src, tgt, b, compute_metrics=False, **cfg
+    )
+    state_f = fresh_state()
+    ks = seed_key(mesh, jax.random.key(3))
+    kt = seed_key(mesh, jax.random.key(4))
+    for _ in range(2):
+        state_f, m_f, ks, kt = fused(state_f, ks, kt)
+
+    assert float(m_f["loss_s"]) == float(m_u["loss_s"])
+    _params_equal(state_u.params, state_f.params)
+    _params_equal(state_u.batch_stats, state_f.batch_stats)
+    assert int(state_f.step) == 2
+
+
+def test_fused_pretrain_iteration_matches_unfused(stores):
+    mesh, src, _ = stores
+    d = mesh.shape["data"]
+    b = 2 * d
+    cfg = dict(image_size=IMG, heatmap_size=HM)
+    model = models.PoseResNet(
+        backbone=models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1]),
+        num_keypoints=K,
+    )
+
+    def fresh_state():
+        return replicate(
+            create_pretrain_state(model, jax.random.key(0), image_size=IMG,
+                                  batch_size=b),
+            mesh,
+        )
+
+    step = make_parallel_pretrain_step(model, mesh, compute_metrics=False)
+    state_u = fresh_state()
+    src.seed_stream(jax.random.key(9))
+    for _ in range(2):
+        state_u, m_u = step(state_u, src.next_train_batch(b, **cfg), 1e-3)
+
+    fused = make_fused_pretrain_iteration(
+        model, mesh, src, b, compute_metrics=False, **cfg
+    )
+    state_f = fresh_state()
+    k = seed_key(mesh, jax.random.key(9))
+    lr = replicate(np.float32(1e-3), mesh)
+    for _ in range(2):
+        state_f, m_f, k = fused(state_f, k, lr)
+
+    assert float(m_f["loss_s"]) == float(m_u["loss_s"])
+    _params_equal(state_u.params, state_f.params)
