@@ -71,6 +71,43 @@ def test_train_cli_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_device_store_fused(tmp_path):
+    """The production input mode end to end: --device-store --decoded-cache
+    drives pretrain + DA through the single-dispatch fused iteration
+    (train/fused.py) and the device-resident eval loaders."""
+    rhd_root = make_rhd_fixture(str(tmp_path / "rhd"), n=6,
+                                sets=("training", "evaluation"))
+    h3d_root = make_h3d_fixture(str(tmp_path / "h3d"), n=20)
+    log_dir = str(tmp_path / "logs")
+
+    from dahpe_tpu.cli import train as train_cli
+
+    args = _args(
+        [
+            h3d_root,
+            "--source_root", rhd_root,
+            "-t", "Hand3DStudio",
+            "-a", "resnet18",
+            "-b", "2",
+            "--pretrain-epochs", "1",
+            "--epochs", "1",
+            "-i", "2",
+            "--workers", "2",
+            "--log", log_dir,
+            "--print-freq", "1",
+            "--image-size", "64",
+            "--heatmap-size", "16",
+            "--device-store",
+            "--decoded-cache", str(tmp_path / "cache"),
+        ]
+    )
+    train_cli.main(args)
+    ckpt_dir = os.path.join(log_dir, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "pretrain"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+
+
+@pytest.mark.slow
 def test_test_cli_with_reference_pth(tmp_path):
     """Round-trip: export our weights as a reference .pth, evaluate it."""
     torch = pytest.importorskip("torch")
