@@ -149,7 +149,8 @@ def _shear_y(image: jnp.ndarray, slope: jnp.ndarray, kmax: int) -> jnp.ndarray:
     return _shear_x(image.swapaxes(1, 2), slope, kmax).swapaxes(1, 2)
 
 
-def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
+def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray,
+                   use_pallas: bool = False) -> jnp.ndarray:
     """Rotate a square ``(H, W, C)`` image about its center — zero gathers —
     returning the rotated canvas channels-first ``(C, H, W)``.
 
@@ -201,9 +202,19 @@ def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
     b = jnp.sin(r)  # |b| <= sin(45 deg)
     kmax_a = int(np.ceil(0.41422 * (n - 1) / 2.0)) + 1
     kmax_b = int(np.ceil(0.70711 * (n - 1) / 2.0)) + 1
-    image = _shear_x(image, a, kmax_a)
-    image = _shear_y(image, b, kmax_b)
-    image = _shear_x(image, a, kmax_a)
+    if use_pallas:
+        # one VMEM-resident kernel per shear (HBM: one read + one write,
+        # the op's speed of light) instead of ~9 masked-shift passes each;
+        # bit-identical math (ops/pallas/shear.py)
+        from dahpe_tpu.ops.pallas.shear import shear_pallas
+
+        image = shear_pallas(image, a, kmax=kmax_a, axis=2)
+        image = shear_pallas(image, b, kmax=kmax_b, axis=1)
+        image = shear_pallas(image, a, kmax=kmax_a, axis=2)
+    else:
+        image = _shear_x(image, a, kmax_a)
+        image = _shear_y(image, b, kmax_b)
+        image = _shear_x(image, a, kmax_a)
     image = image[:, pad : pad + h, pad : pad + w]
     return image.astype(jnp.float32) * (1.0 / 256.0)
 
@@ -236,12 +247,13 @@ def _warp_one(image, keypoint2d, intrinsic, key, *, out_size, rotation,
     mat, off, angle, side, crop_off, factor = _affine_params(
         key, h, w, out_size, rotation, scale_range
     )
-    if method == "matmul":
+    if method in ("matmul", "pallas"):
         # rotate the source once (three shears, dense ops only), then the
-        # crop-resize is separable → two MXU matmuls. The gather path below
-        # computes the same map in one resample; it is kept as the numerical
-        # oracle and for non-square inputs.
-        rotated = _rotate_shears(image, angle)
+        # crop-resize is separable → two MXU matmuls. "pallas" runs each
+        # shear as one VMEM-resident kernel (bit-identical); the gather path
+        # below computes the same map in one resample and is kept as the
+        # numerical oracle and for non-square inputs.
+        rotated = _rotate_shears(image, angle, use_pallas=method == "pallas")
         out = _crop_resize_matmul(rotated, side, crop_off, out_size)
     else:
         ys = jnp.arange(out_size, dtype=jnp.float32) + 0.5
@@ -363,14 +375,16 @@ def augment_batch(
         float32.
       keypoints: (B, K, 2); intrinsics: (B, 3, 3).
       warp: "matmul" (three-shear rotation + interpolation-matrix resize —
-        the TPU fast path) or "gather" (single-pass per-pixel bilinear
-        gather — the numerical oracle; required for non-square inputs).
+        the TPU fast path), "pallas" (same map, each shear one VMEM-resident
+        kernel — bit-identical to "matmul"), or "gather" (single-pass
+        per-pixel bilinear gather — the numerical oracle; required for
+        non-square inputs).
     Returns: normalized images (B, out, out, 3), keypoints, intrinsics.
     """
     images = images.astype(jnp.float32)
     b = images.shape[0]
     keys = jax.random.split(key, (b, 3))
-    if warp == "matmul" and images.shape[1] != images.shape[2]:
+    if warp in ("matmul", "pallas") and images.shape[1] != images.shape[2]:
         warp = "gather"
 
     def one(img, kp, intr, ks):

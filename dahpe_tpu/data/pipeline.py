@@ -201,16 +201,17 @@ class BatchLoader:
 @partial(
     jax.jit,
     static_argnames=("image_size", "heatmap_size", "rotation", "scale_range",
-                     "sigma"),
+                     "sigma", "warp"),
 )
 def _device_train_batch(image_u8, keypoint2d, intrinsic, visible, key, *,
                         image_size, heatmap_size, rotation, scale_range,
-                        sigma):
+                        sigma, warp):
     from dahpe_tpu.data.device_aug import augment_batch
 
     img, kp, _ = augment_batch(
         image_u8, keypoint2d, intrinsic, key,
         out_size=image_size, rotation=rotation, scale_range=scale_range,
+        warp=warp,
     )
     target, weight = generate_target(
         kp, visible, (heatmap_size, heatmap_size), (image_size, image_size),
@@ -236,6 +237,8 @@ def device_train_batch(
     (the float cast happens on device — 4x less H2D traffic than casting on
     the host).
     """
+    # Pallas shears on TPU (bit-identical, ~2.8x); portable jnp elsewhere
+    warp = "pallas" if jax.default_backend() == "tpu" else "matmul"
     return _device_train_batch(
         jnp.asarray(batch["image_u8"]),
         jnp.asarray(batch["keypoint2d"]),
@@ -247,6 +250,7 @@ def device_train_batch(
         rotation=float(rotation),
         scale_range=tuple(scale_range),
         sigma=sigma,
+        warp=warp,
     )
 
 

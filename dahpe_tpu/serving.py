@@ -1,0 +1,65 @@
+"""Deployment: ahead-of-time export of the serving program as StableHLO.
+
+The reference has no deployment story beyond "load the .pth in the eval
+script" (``test.py:190-201``); a production TPU service wants the serving
+computation compiled AHEAD of time and shipped as an artifact independent of
+the Python model definition. This module exports the fused
+forward-plus-decode program (:func:`dahpe_tpu.evaluate.make_predict_fn` —
+images → image-space keypoint coordinates + confidences) through
+``jax.export`` (StableHLO): the artifact is versioned, serializable, and
+reloadable on any host with jax — no flax, no model zoo, no checkpoint code.
+
+Exports can be batch-polymorphic (``batch_size=None``): one artifact serves
+any batch size, XLA specializing at load time.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from dahpe_tpu.evaluate import make_predict_fn
+
+
+def _shapes_of(tree):
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), tree
+    )
+
+
+def export_predict(model, variables, *, batch_size: int | None = None,
+                   image_size: int = 256, heatmap_size: int = 64,
+                   input_dtype=jnp.float32) -> bytes:
+    """Serialize the serving program to portable StableHLO bytes.
+
+    The exported callable keeps the ``(variables, images) -> (coords,
+    maxvals)`` signature (weights are runtime inputs, so one artifact serves
+    many checkpoints). ``batch_size=None`` exports a batch-polymorphic
+    artifact via a symbolic leading dimension.
+    """
+    predict = make_predict_fn(
+        model, image_size=image_size, heatmap_size=heatmap_size
+    )
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = batch_size
+    x = jax.ShapeDtypeStruct((b, image_size, image_size, 3), input_dtype)
+    exported = jax_export.export(predict)(_shapes_of(variables), x)
+    return bytes(exported.serialize())
+
+
+def load_predict(blob: bytes):
+    """Rebuild the serving callable from :func:`export_predict` bytes."""
+    return jax_export.deserialize(blob).call
+
+
+def save_predict(path: str, model, variables, **kw) -> None:
+    with open(path, "wb") as f:
+        f.write(export_predict(model, variables, **kw))
+
+
+def load_predict_file(path: str):
+    with open(path, "rb") as f:
+        return load_predict(f.read())

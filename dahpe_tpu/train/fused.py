@@ -17,6 +17,8 @@ bit-identical to the separate ``next_train_batch`` + step path (tested).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -59,18 +61,24 @@ def make_fused_da_iteration(model, mesh, source_store, target_store,
     step = make_da_train_step(model, **step_config)
     repl = NamedSharding(mesh, P())
 
-    def iteration(state, s_key_data, t_key_data):
+    # the resident store arrays are jit ARGUMENTS, not closure captures:
+    # under multi-host they span non-addressable devices, which jit refuses
+    # to close over (and as arguments they are passed by reference anyway)
+    @partial(jax.jit, out_shardings=(repl, repl, repl, repl),
+             donate_argnums=(0, 1, 2))
+    def iteration(state, s_key_data, t_key_data, s_arrays, t_arrays):
         s_next, s_sub = _advance(s_key_data)
         t_next, t_sub = _advance(t_key_data)
-        state, metrics = step(state, src(s_sub), tgt(t_sub))
+        state, metrics = step(state, src(*s_arrays, s_sub),
+                              tgt(*t_arrays, t_sub))
         return state, metrics, s_next, t_next
 
-    return jax.jit(
-        iteration,
-        in_shardings=(repl, repl, repl),
-        out_shardings=(repl, repl, repl, repl),
-        donate_argnums=(0, 1, 2),
-    )
+    def call(state, s_key_data, t_key_data):
+        return iteration(state, s_key_data, t_key_data,
+                         source_store.store_arrays(),
+                         target_store.store_arrays())
+
+    return call
 
 
 def make_fused_pretrain_iteration(model, mesh, source_store, batch_size: int,
@@ -90,14 +98,14 @@ def make_fused_pretrain_iteration(model, mesh, source_store, batch_size: int,
     step = make_pretrain_step(model, **step_config)
     repl = NamedSharding(mesh, P())
 
-    def iteration(state, key_data, lr):
+    @partial(jax.jit, out_shardings=(repl, repl, repl),
+             donate_argnums=(0, 1))
+    def iteration(state, key_data, lr, arrays):
         next_key, sub = _advance(key_data)
-        state, metrics = step(state, src(sub), lr)
+        state, metrics = step(state, src(*arrays, sub), lr)
         return state, metrics, next_key
 
-    return jax.jit(
-        iteration,
-        in_shardings=(repl, repl, repl),
-        out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1),
-    )
+    def call(state, key_data, lr):
+        return iteration(state, key_data, lr, source_store.store_arrays())
+
+    return call

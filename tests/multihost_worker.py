@@ -115,6 +115,29 @@ def main():
             "STORE " + " ".join(f"{v:.6f}" for v in sums), flush=True
         )
 
+        # fused single-dispatch iteration under multi-host: store batch
+        # production + DA step in one SPMD program across both processes
+        from dahpe_tpu.train import make_fused_da_iteration, seed_key
+
+        state2 = replicate(
+            create_da_state(model, jax.random.key(0), image_size=64,
+                            with_ema=True),
+            mesh,
+        )
+        fused = make_fused_da_iteration(
+            model, mesh, store, store, 2 * n_global, image_size=64,
+            heatmap_size=16, ema_decay=0.999,
+        )
+        ks = seed_key(mesh, jax.random.key(11))
+        kt = seed_key(mesh, jax.random.key(12))
+        state2, fm, ks, kt = fused(state2, ks, kt)
+        jax.block_until_ready(fm)
+        print(
+            f"FUSED {float(fm['loss_s']):.10f} "
+            f"{float(fm['loss_gf']):.10f} {float(fm['loss_gt']):.10f}",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

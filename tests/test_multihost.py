@@ -57,7 +57,7 @@ def _run_workers(extra_args=()):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=1200)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
@@ -166,18 +166,75 @@ def _single_process_store_sums(fixture_root: str) -> np.ndarray:
     )
 
 
+def _parse_fused(out: str) -> np.ndarray:
+    for line in out.splitlines():
+        if line.startswith("FUSED "):
+            return np.array([float(v) for v in line.split()[1:]])
+    raise AssertionError(f"no FUSED line in worker output:\n{out}")
+
+
+def _single_process_fused_losses(fixture_root: str) -> np.ndarray:
+    """Ground truth for the fused iteration on a single-process mesh."""
+    import os
+
+    import jax
+
+    from dahpe_tpu import models
+    from dahpe_tpu.data import DecodedCache, RenderedHandPose
+    from dahpe_tpu.data.device_store import DeviceDataStore
+    from dahpe_tpu.models.resnet import Bottleneck
+    from dahpe_tpu.parallel import create_mesh, replicate
+    from dahpe_tpu.train import (
+        create_da_state,
+        make_fused_da_iteration,
+        seed_key,
+    )
+
+    n_global = NUM_PROCESSES * LOCAL_DEVICES
+    mesh = create_mesh(jax.devices()[:n_global])
+    ds = RenderedHandPose(fixture_root, split="train", transforms=None)
+    cache = DecodedCache(
+        ds, os.path.join(fixture_root, "_cache64"), raw_size=64
+    )
+    store = DeviceDataStore(cache, mesh=mesh, raw_size=64, verbose=False)
+    model = models.MultiHeadPoseResNet(
+        backbone=models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1]),
+        num_keypoints=21,
+    )
+    state = replicate(
+        create_da_state(model, jax.random.key(0), image_size=64,
+                        with_ema=True),
+        mesh,
+    )
+    fused = make_fused_da_iteration(
+        model, mesh, store, store, 2 * n_global, image_size=64,
+        heatmap_size=16, ema_decay=0.999,
+    )
+    ks = seed_key(mesh, jax.random.key(11))
+    kt = seed_key(mesh, jax.random.key(12))
+    _, fm, ks, kt = fused(state, ks, kt)
+    return np.array(
+        [float(fm["loss_s"]), float(fm["loss_gf"]), float(fm["loss_gt"])]
+    )
+
+
 @pytest.mark.slow
 def test_two_process_device_store_matches_single_process(tmp_path):
     """Multi-host device store: per-process shard upload + replicated-key
     sampling must produce the identical global training batch regardless of
     process layout (sampling folds in the device's mesh position, not the
-    process)."""
+    process); the fused single-dispatch iteration must then reproduce the
+    single-process losses across both processes."""
     from tests.fixtures import make_rhd_fixture
 
     root = str(tmp_path / "rhd")
     make_rhd_fixture(root, n=16)
     expected = _single_process_store_sums(root)  # also pre-builds the cache
+    expected_fused = _single_process_fused_losses(root)
     outs = _run_workers(extra_args=(root,))
     sums = [_parse_store(out) for out in outs]
     np.testing.assert_allclose(sums[0], sums[1], rtol=0, atol=0)
     np.testing.assert_allclose(sums[0], expected, rtol=2e-5)
+    fused = [_parse_fused(out) for out in outs]
+    np.testing.assert_allclose(fused[0], fused[1], rtol=0, atol=0)
+    np.testing.assert_allclose(fused[0], expected_fused, rtol=2e-5)

@@ -1,0 +1,65 @@
+"""Pallas shear kernel (``ops/pallas/shear.py``): bit-exact vs the jnp
+masked-shift shears, including under vmap and inside the full warp path.
+
+Runs in interpret mode on CPU (the kernel's TPU compilation is exercised by
+``bench.py aug <batch> pallas`` on hardware).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dahpe_tpu.data import device_aug as da
+from dahpe_tpu.ops.pallas.shear import shear_pallas
+
+
+@pytest.mark.parametrize("slope", [0.0, 0.3, -0.41422, 0.70711])
+def test_shear_x_exact(slope):
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 65535, (3, 70, 66)), jnp.uint16)
+    kmax = 32
+    ref = da._shear_x(img, jnp.float32(slope), kmax)
+    got = shear_pallas(img, jnp.float32(slope), kmax=kmax, axis=2,
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("slope", [0.0, -0.3, 0.70711])
+def test_shear_y_exact(slope):
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.integers(0, 65535, (3, 66, 70)), jnp.uint16)
+    kmax = 28
+    ref = da._shear_y(img, jnp.float32(slope), kmax)
+    got = shear_pallas(img, jnp.float32(slope), kmax=kmax, axis=1,
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_vmapped_shear_exact():
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.integers(0, 65535, (4, 3, 70, 66)), jnp.uint16)
+    sl = jnp.asarray(rng.uniform(-0.4, 0.4, (4,)), jnp.float32)
+    got = jax.vmap(
+        lambda im, s: shear_pallas(im, s, kmax=16, axis=2, interpret=True)
+    )(imgs, sl)
+    ref = jax.vmap(lambda im, s: da._shear_x(im, s, 16))(imgs, sl)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_rotate_shears_pallas_exact(monkeypatch):
+    """The full quarter-turn + three-shear rotation through the kernel."""
+    import dahpe_tpu.ops.pallas.shear as shear_mod
+
+    real = shear_mod.shear_pallas
+    monkeypatch.setattr(
+        shear_mod, "shear_pallas",
+        lambda *a, **kw: real(*a, interpret=True, **kw),
+    )
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.integers(0, 255, (64, 64, 3)), jnp.float32)
+    for angle in (0.0, 33.0, -117.5, 180.0):
+        ref = da._rotate_shears(img, jnp.float32(angle), use_pallas=False)
+        got = da._rotate_shears(img, jnp.float32(angle), use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

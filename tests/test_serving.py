@@ -1,0 +1,63 @@
+"""StableHLO export of the serving program (``dahpe_tpu/serving.py``)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dahpe_tpu import models
+from dahpe_tpu.evaluate import make_predict_fn
+from dahpe_tpu.models.resnet import Bottleneck
+from dahpe_tpu.serving import export_predict, load_predict
+
+
+def _model_and_vars():
+    model = models.MultiHeadPoseResNet(
+        backbone=models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1]),
+        num_keypoints=21,
+    )
+    variables = jax.jit(
+        lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False,
+            gl_coeff=0.0,
+        )
+    )()
+    return model, variables
+
+
+def test_exported_predict_matches_live(tmp_path):
+    model, variables = _model_and_vars()
+    blob = export_predict(
+        model, variables, batch_size=3, image_size=64, heatmap_size=16
+    )
+    assert isinstance(blob, bytes) and len(blob) > 0
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 64, 64, 3)), jnp.float32)
+
+    live = make_predict_fn(model, image_size=64, heatmap_size=16)
+    coords_l, maxv_l = live(variables, x)
+    restored = load_predict(blob)
+    coords_r, maxv_r = restored(variables, x)
+    np.testing.assert_array_equal(np.asarray(coords_l), np.asarray(coords_r))
+    np.testing.assert_allclose(
+        np.asarray(maxv_l), np.asarray(maxv_r), rtol=1e-6
+    )
+
+
+def test_batch_polymorphic_export():
+    model, variables = _model_and_vars()
+    blob = export_predict(
+        model, variables, batch_size=None, image_size=64, heatmap_size=16
+    )
+    restored = load_predict(blob)
+    live = make_predict_fn(model, image_size=64, heatmap_size=16)
+    rng = np.random.default_rng(1)
+    for b in (1, 5):
+        x = jnp.asarray(rng.standard_normal((b, 64, 64, 3)), jnp.float32)
+        coords_r, _ = restored(variables, x)
+        coords_l, _ = live(variables, x)
+        assert coords_r.shape == (b, 21, 2)
+        np.testing.assert_array_equal(
+            np.asarray(coords_l), np.asarray(coords_r)
+        )
