@@ -63,3 +63,34 @@ def save_predict(path: str, model, variables, **kw) -> None:
 def load_predict_file(path: str):
     with open(path, "rb") as f:
         return load_predict(f.read())
+
+
+def save_variables_npz(path: str, variables) -> None:
+    """Companion weight file for an exported artifact: a plain ``.npz``
+    keyed by tree path, loadable with numpy alone — together with the
+    StableHLO bytes this is a fully self-contained deployment (no flax, no
+    orbax, no model code on the serving host)."""
+    import numpy as onp
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+    arrays = {
+        "/".join(str(getattr(k, "key", k)) for k in path): onp.asarray(leaf)
+        for path, leaf in flat
+    }
+    onp.savez(path, **arrays)
+
+
+def load_variables_npz(path: str):
+    """Rebuild the ``variables`` pytree (nested dicts) from
+    :func:`save_variables_npz` output."""
+    import numpy as onp
+
+    out: dict = {}
+    with onp.load(path) as data:
+        for key in data.files:
+            node = out
+            *parents, leaf = key.split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf] = jnp.asarray(data[key])
+    return out

@@ -45,6 +45,56 @@ def test_exported_predict_matches_live(tmp_path):
     )
 
 
+def test_export_cli_and_npz_weights(tmp_path):
+    """The export CLI: orbax checkpoint → StableHLO + npz weights, then a
+    'bare host' reload (artifact + npz only) matches the live model."""
+    from dahpe_tpu.cli.export import build_export_parser, main as export_main
+    from dahpe_tpu.serving import load_predict_file, load_variables_npz
+    from dahpe_tpu.utils import checkpoint as ckpt
+
+    model = models.MultiHeadPoseResNet(
+        backbone=models.get_backbone("resnet18"), num_keypoints=21
+    )
+    variables = jax.jit(
+        lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False,
+            gl_coeff=0.0,
+        )
+    )()
+    ckpt_dir = str(tmp_path / "ckpt")
+    ckpt.save_state(ckpt_dir, variables)
+    out = str(tmp_path / "model.stablehlo")
+    export_main(build_export_parser().parse_args([
+        ckpt_dir, "-o", out, "-a", "resnet18", "--image-size", "64",
+        "--heatmap-size", "16", "--batch-size", "2",
+    ]))
+
+    restored = load_predict_file(out)
+    weights = load_variables_npz(out + ".weights.npz")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    coords, maxv = restored(weights, x)
+    live = make_predict_fn(model, image_size=64, heatmap_size=16)
+    coords_l, _ = live(variables, x)
+    np.testing.assert_array_equal(np.asarray(coords_l), np.asarray(coords))
+    assert np.isfinite(np.asarray(maxv)).all()
+
+
+def test_variables_npz_roundtrip(tmp_path):
+    from dahpe_tpu.serving import load_variables_npz, save_variables_npz
+
+    _, variables = _model_and_vars()
+    path = str(tmp_path / "w.npz")
+    save_variables_npz(path, variables)
+    back = load_variables_npz(path)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, la), (pb, lb) in zip(sorted(flat_a, key=str),
+                                  sorted(flat_b, key=str)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_batch_polymorphic_export():
     model, variables = _model_and_vars()
     blob = export_predict(
