@@ -48,6 +48,10 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
     parser.add_argument("--log", type=str, default="logs/mt")
     parser.add_argument("--phase", type=str, default=phase, choices=["train", "test"])
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--profile", default=0, type=int, metavar="N",
+                        help="capture a jax.profiler device trace of N "
+                             "steady-state DA iterations (written under "
+                             "{log}/trace, TensorBoard-viewable)")
     parser.add_argument("--ema-decay", default=0.999, type=float)
     parser.add_argument("--with-ema", action="store_true",
                         help="maintain + update the EMA twin each iteration "

@@ -237,7 +237,8 @@ def main(args):
         print(f"resumed from {args.resume} at epoch {start_epoch}")
     else:
         pretrain_path = args.pretrain
-        if pretrain_path is None and args.phase == "train":
+        if (pretrain_path is None and args.phase == "train"
+                and args.pretrain_epochs > 0):
             print("Pretraining the model on source domain.")
             if stores is not None:
                 # fully on-device pretraining from the source store
@@ -390,6 +391,22 @@ def main(args):
 
     best_acc = float("-inf")
     print("Start regression domain adaptation.")
+    if args.profile:
+        # steady-state device trace: compile+warm first so the capture holds
+        # only real iterations (SURVEY §5: the reference has no profiler)
+        import os
+
+        from dahpe_tpu.utils import profiling
+
+        for _ in range(2):
+            state, metrics, _, _ = run_iteration(state)
+        jax.block_until_ready(metrics["loss_s"])
+        tracedir = os.path.join(args.log, "trace")
+        with profiling.trace(tracedir):
+            for _ in range(args.profile):
+                state, metrics, _, _ = run_iteration(state)
+            jax.block_until_ready(metrics["loss_s"])
+        print(f"profiler trace ({args.profile} iters) -> {tracedir}")
     for epoch in range(start_epoch, args.epochs):
         logger.set_epoch(epoch)
         batch_time = AverageMeter("Time", ":4.2f")
