@@ -51,10 +51,14 @@ def make_h3d_fixture(root, n=30, seed=1):
         name = f"part1/img_{i}.png"
         img = rng.integers(0, 255, size=(240, 240, 3), dtype=np.uint8)
         Image.fromarray(img).save(os.path.join(root, "H3D_crop", name))
-        kp3 = rng.uniform(0.2, 0.6, size=(21, 3))
+        # keypoints INSIDE the pre-cropped frame (like the real dataset):
+        # sample pixel coords, back-project to a consistent 3D point
         K = [[240.0, 0, 120.0], [0, 240.0, 120.0], [0, 0, 1.0]]
-        kp2 = (np.asarray(K) @ kp3.T).T
-        kp2 = kp2[:, :2] / kp2[:, 2:3]
+        kp2 = rng.uniform(30.0, 210.0, size=(21, 2))
+        z = rng.uniform(0.3, 0.6, size=(21, 1))
+        kp3 = np.concatenate(
+            [(kp2 - 120.0) * z / 240.0, z], axis=1
+        )
         samples.append(
             {
                 "name": name,

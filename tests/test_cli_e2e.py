@@ -105,6 +105,15 @@ def test_train_cli_device_store_fused(tmp_path):
     ckpt_dir = os.path.join(log_dir, "checkpoints")
     assert os.path.isdir(os.path.join(ckpt_dir, "pretrain"))
     assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+    # validation PCK must be a real number on BOTH domains: -1.000 means
+    # every ground-truth peak was invalid (this caught an out-of-frame
+    # keypoint bug in the H3D fixture)
+    logs = [f for f in os.listdir(log_dir) if f.endswith(".txt")]
+    text = "".join(
+        open(os.path.join(log_dir, f)).read() for f in logs
+    )
+    assert "Target: -1.000" not in text, "target validation PCK is -1"
+    assert "Source: -1.000" not in text, "source validation PCK is -1"
 
 
 @pytest.mark.slow
