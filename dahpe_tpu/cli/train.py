@@ -203,24 +203,15 @@ def main(args):
                 )
                 print(f"device store ({name}): {stores[name].n} samples, "
                       f"{stores[name].nbytes() / 1e9:.2f} GB HBM")
-            # val sets too: built at raw_size == image_size so the PIL val
-            # resize is baked into the upload (bit-identical geometry) and
-            # per-epoch validation is a pure on-device sweep
-            for name, ds in (("source", val_source), ("target", val_target)):
-                store = DeviceDataStore(
-                    maybe_decoded_cache(args, ds, raw_size=args.image_size),
-                    mesh=mesh, shard_samples=False,
-                    raw_size=args.image_size,
-                )
-                loader = store.eval_loader(
-                    args.batch_size, heatmap_size=args.heatmap_size
-                )
-                if name == "source":
-                    val_source_loader = loader
-                else:
-                    val_target_loader = loader
-                print(f"device store (val {name}): {store.n} samples, "
-                      f"{store.nbytes() / 1e9:.2f} GB HBM")
+            # val sets too: per-epoch validation is a pure on-device sweep
+            from dahpe_tpu.cli.common import build_device_val_loader
+
+            val_source_loader = build_device_val_loader(
+                args, val_source, mesh=mesh, name="source"
+            )
+            val_target_loader = build_device_val_loader(
+                args, val_target, mesh=mesh, name="target"
+            )
             print("Source test:", len(val_source_loader))
             print("Target test:", len(val_target_loader))
 
@@ -231,10 +222,15 @@ def main(args):
     )
 
     start_epoch = 0
+    resume_aux = {}  # sampling-key buffers + best-acc watermark (save_aux)
     if args.resume:
         state = ckpt.restore_state(args.resume, state)
+        resume_aux = ckpt.load_aux(args.resume)
         start_epoch = int(state.step) // args.iters_per_epoch
-        print(f"resumed from {args.resume} at epoch {start_epoch}")
+        print(
+            f"resumed from {args.resume} at epoch {start_epoch}"
+            + (" (with stream keys)" if resume_aux else "")
+        )
     else:
         pretrain_path = args.pretrain
         if (pretrain_path is None and args.phase == "train"
@@ -304,6 +300,18 @@ def main(args):
     )
     state = replicate(state, mesh)
 
+    def fresh_stream_key(i: int):
+        """Seed for device key stream ``i`` (0=source, 1=target). A resumed
+        run without saved stream buffers folds in the restored step so it at
+        least does not REPLAY the sequence from iteration 0 (a run resumed
+        WITH the sidecar continues the exact sequence instead)."""
+        base = jax.random.key(args.seed)
+        if int(state.step):
+            base = jax.random.fold_in(base, int(state.step))
+        return jax.random.fold_in(base, i)
+
+    current_stream_aux = dict  # per-mode override below
+
     aug_keys = (
         iter_keys(jax.random.key(args.seed)) if args.device_aug else None
     )
@@ -322,10 +330,16 @@ def main(args):
             rotation=args.rotation, scale_range=tuple(args.resize_scale),
             **step_config,
         )
-        key_bufs = [
-            seed_key(mesh, jax.random.fold_in(jax.random.key(args.seed), i))
-            for i in (0, 1)
-        ]
+        if "key_s" in resume_aux:
+            key_bufs = [
+                replicate(np.asarray(resume_aux[k], np.uint32), mesh)
+                for k in ("key_s", "key_t")
+            ]
+        else:
+            key_bufs = [seed_key(mesh, fresh_stream_key(i)) for i in (0, 1)]
+
+        def current_stream_aux():
+            return {"key_s": key_bufs[0], "key_t": key_bufs[1]}
 
         def run_iteration(state):
             state, metrics, key_bufs[0], key_bufs[1] = fused(
@@ -339,8 +353,11 @@ def main(args):
         step_fn = make_parallel_da_step(model, mesh, **step_config)
 
         def make_next_batch(store, stream_id):
+            saved = resume_aux.get("key_s" if stream_id == 0 else "key_t")
             store.seed_stream(
-                jax.random.fold_in(jax.random.key(args.seed), stream_id)
+                np.asarray(saved, np.uint32)
+                if saved is not None
+                else fresh_stream_key(stream_id)
             )
 
             def next_batch():
@@ -355,6 +372,10 @@ def main(args):
 
         next_source = make_next_batch(stores["source"], 0)
         next_target = make_next_batch(stores["target"], 1)
+
+        def current_stream_aux():
+            return {"key_s": stores["source"].stream_data(),
+                    "key_t": stores["target"].stream_data()}
     else:
         step_fn = make_parallel_da_step(model, mesh, **step_config)
         if args.device_aug:
@@ -389,7 +410,9 @@ def main(args):
             state, metrics = step_fn(state, b_s, b_t)
             return state, metrics, b_s, b_t
 
-    best_acc = float("-inf")
+    # watermark survives resume: a post-resume epoch must not overwrite
+    # checkpoints/best unless it actually beats the pre-crash best
+    best_acc = float(resume_aux.get("best_acc", float("-inf")))
     print("Start regression domain adaptation.")
     if args.profile:
         # steady-state device trace: compile+warm first so the capture holds
@@ -468,6 +491,13 @@ def main(args):
         if tgt_acc["all"] > best_acc:
             best_acc = tgt_acc["all"]
             ckpt.save_state(logger.get_checkpoint_path("best"), state)
+            ckpt.save_aux(logger.get_checkpoint_path("best"),
+                          best_acc=best_acc, **current_stream_aux())
+        # aux AFTER the best update so the epoch checkpoint records the
+        # current watermark + the post-epoch sampling-key buffers: restoring
+        # it continues the exact batch sequence (tests/test_resume.py)
+        ckpt.save_aux(logger.get_checkpoint_path(epoch),
+                      best_acc=best_acc, **current_stream_aux())
         print(
             f"Source: {src_acc['all']:4.3f} Target: {tgt_acc['all']:4.3f} "
             f"Target(best): {best_acc:4.3f}"

@@ -101,6 +101,15 @@ class DeviceDataStore:
             # multi-host: every process decodes and uploads ONLY the rows its
             # own devices hold; the global arrays are assembled from the
             # per-device pieces without any host ever seeing the full set.
+            # The raveled-device-index → row-range assignment below is only
+            # correct on a 1-D mesh (on a multi-axis mesh, devices off the
+            # sample axis must hold replicated rows, not fresh ranges).
+            if shard_samples and mesh.devices.ndim != 1:
+                raise ValueError(
+                    "multi-host DeviceDataStore requires a 1-D mesh "
+                    f"(got shape {mesh.devices.shape}); build with "
+                    "parallel.create_mesh"
+                )
             devs = list(mesh.devices.ravel())
             rows_per = self.n // len(devs) if shard_samples else self.n
             per_field: list[list] = [[], [], [], []]
@@ -211,8 +220,10 @@ class DeviceDataStore:
             out_specs={"image": P(axis), "target": P(axis), "weight": P(axis)},
             # the Pallas shear kernels' out_shapes carry no varying-mesh-axes
             # annotation, which the checker requires of every output produced
-            # inside a shard_map; the specs above already pin the sharding
-            check_vma=False,
+            # inside a shard_map; the specs above already pin the sharding.
+            # Scoped to the TPU/pallas build only — the portable jnp warp
+            # (CPU tests) keeps full spec validation.
+            check_vma=(warp != "pallas"),
         )
 
         @jax.jit
@@ -262,7 +273,10 @@ class DeviceDataStore:
         return self._train_batch_fn
 
     def _put_key(self, key):
-        key_data = np.asarray(jax.random.key_data(key), np.uint32)
+        if hasattr(key, "dtype") and key.dtype == np.uint32:
+            key_data = np.asarray(key, np.uint32)  # raw key data (resume)
+        else:
+            key_data = np.asarray(jax.random.key_data(key), np.uint32)
         if jax.process_count() > 1:
             from dahpe_tpu.parallel.mesh import replicate
 
@@ -308,8 +322,17 @@ class DeviceDataStore:
         """Upload the batch-sampling key ONCE; :meth:`next_train_batch` then
         advances it entirely on device (``jax.random.split`` inside the same
         jitted program, donated buffer), so steady-state training does zero
-        host→device transfers per iteration."""
+        host→device transfers per iteration. ``key`` is a typed PRNG key or
+        a raw uint32 key-data array (a saved :meth:`stream_data`)."""
         self._stream = self._put_key(key)
+
+    def stream_data(self):
+        """The current sampling-key buffer as host uint32 key data (for
+        checkpointing — reseeding with it makes resume a true continuation),
+        or ``None`` before :meth:`seed_stream`."""
+        if getattr(self, "_stream", None) is None:
+            return None
+        return np.asarray(jax.device_get(self._stream), np.uint32)
 
     def next_train_batch(self, batch_size: int, *, image_size: int = 256,
                          heatmap_size: int = 64, rotation: float = 180.0,

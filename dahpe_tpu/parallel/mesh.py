@@ -82,17 +82,6 @@ def make_parallel_da_step(model, mesh: Mesh, *, axis: str = "data", **config):
     """
     from dahpe_tpu.train.da import make_da_train_step
 
-    if config.get("use_pallas_labels") and mesh.size > 1:
-        # a pallas_call is not partitioned by GSPMD: on a >1-device mesh the
-        # kernel would compute labels from replica-local (wrong-shape) data.
-        # The jnp label path is numerically identical and is what production
-        # uses (it also measured faster — see make_da_train_step docstring),
-        # so refuse loudly rather than run a silently-broken combination.
-        raise ValueError(
-            "use_pallas_labels is single-device only (pallas_call does not "
-            f"partition under GSPMD); this mesh has {mesh.size} devices. "
-            "Use the default jnp label path."
-        )
     step = make_da_train_step(model, **config)
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(axis))

@@ -100,23 +100,20 @@ def make_da_train_step(
     gl_hi: float = 0.1,
     gl_max_iters: int = 1000,
     compute_metrics: bool = True,
-    use_pallas_labels: bool = False,
     share_target_features: bool = True,
-    bn_momentum: float = 0.1,
+    bn_momentum: float | None = None,
 ) -> Callable:
     """Build the jittable DA step: ``(state, batch_s, batch_t) -> (state, metrics)``.
 
     Batches are dicts with ``image (B,H,W,3)``, ``target (B,64,64,K)``,
     ``weight (B,K)``.
 
-    ``use_pallas_labels`` routes pseudo-label construction through the fused
-    Pallas kernel — single-device only for now: a ``pallas_call`` is not
-    auto-partitioned by GSPMD, so under the data mesh
-    (``make_parallel_da_step``) keep the default jnp path (numerically
-    identical) or wrap the step in ``shard_map`` first. Measured on a v5e
-    chip (resnet101, bf16, batch 32): 68.3 ms/iter jnp vs 71.3 ms/iter
-    pallas — the label math is a tiny fraction of the step and XLA's fusion
-    of the jnp form is already optimal, so jnp stays the default.
+    Pseudo-label construction is the closed-form jnp path unconditionally:
+    the fused Pallas kernel (``ops/pallas/pseudo_label.py``) measured SLOWER
+    inside the full step (71.3 vs 68.3 ms/iter, v5e, resnet101 bf16 batch 32
+    — XLA already fuses the jnp label math optimally) and a ``pallas_call``
+    does not partition under GSPMD, so the kernel stays a validated bench
+    artifact rather than a production knob.
 
     ``share_target_features`` (default on): Steps B and C act on the SAME
     target batch, and neither updates the backbone/upsampling/main-head
@@ -131,6 +128,15 @@ def make_da_train_step(
     ``r2 = (2 - m)·r1 - (1 - m)·r0``). Numerics match the unshared path to
     float-reassociation noise; set False for the literal 3-forward replica.
     """
+    if bn_momentum is None:
+        # the closed-form double-BN update is only correct for the momentum
+        # the model's norm layers actually run with; every model in the zoo
+        # uses BatchNorm2d's class default, so that field IS the source of
+        # truth (models/batch_norm.py). Pass bn_momentum explicitly only for
+        # a model whose BN layers were built with a non-default momentum.
+        from dahpe_tpu.models.batch_norm import BatchNorm2d
+
+        bn_momentum = BatchNorm2d.momentum
     tx = torch_sgd(momentum=momentum, weight_decay=weight_decay)
 
     def forward(params, batch_stats, x, gl_coeff):
@@ -155,17 +161,9 @@ def make_da_train_step(
             y = out["y"]
             loss = (
                 2.0 * joints_kl_loss(y, label_s, w_s)
-                + 4.0 * disparity.rd_32(
-                    y, out["y_adv2"], None, w_s, "min",
-                    use_pallas=use_pallas_labels,
-                )
-                + 4.0 * disparity.rd_64(
-                    y, out["y_adv"], None, w_s, "min",
-                    use_pallas=use_pallas_labels,
-                )
-                + 4.0 * disparity.rd_16(
-                    y, out["y_adv3"], w_s, "min", use_pallas=use_pallas_labels
-                )
+                + 4.0 * disparity.rd_32(y, out["y_adv2"], None, w_s, "min")
+                + 4.0 * disparity.rd_64(y, out["y_adv"], None, w_s, "min")
+                + 4.0 * disparity.rd_16(y, out["y_adv3"], w_s, "min")
             )
             return loss, (bs, out)
 
@@ -191,25 +189,15 @@ def make_da_train_step(
                 a2, hm_full
             )
             t32 = upsample_bilinear(a3, hm_half)
-            l1 = disparity.rd_16(
-                y, advs["y_adv3"], w_t, "max", use_pallas=use_pallas_labels
-            )
-            l2 = disparity.rd_64(
-                y, advs["y_adv"], t64, w_t, "max", use_pallas=use_pallas_labels
-            )
-            l3 = disparity.rd_32(
-                y, advs["y_adv2"], t32, w_t, "max", use_pallas=use_pallas_labels
-            )
+            l1 = disparity.rd_16(y, advs["y_adv3"], w_t, "max")
+            l2 = disparity.rd_64(y, advs["y_adv"], t64, w_t, "max")
+            l3 = disparity.rd_32(y, advs["y_adv2"], t32, w_t, "max")
             return trade_off * (0.3 * l1 + 1.0 * l2 + 0.3 * l3)
 
         def step_c_losses(y, advs):
             """The disparity minimization objective (Step C)."""
-            l1 = disparity.rd_32(
-                y, advs["y_adv2"], None, w_t, "min", use_pallas=use_pallas_labels
-            )
-            l2 = disparity.rd_64(
-                y, advs["y_adv"], None, w_t, "min", use_pallas=use_pallas_labels
-            )
+            l1 = disparity.rd_32(y, advs["y_adv2"], None, w_t, "min")
+            l2 = disparity.rd_64(y, advs["y_adv"], None, w_t, "min")
             return trade_off * (0.3 * l1 + 1.0 * l2)
 
         if share_target_features:

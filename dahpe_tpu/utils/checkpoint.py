@@ -34,6 +34,37 @@ def restore_state(path: str, target):
     return ckptr.restore(path, item=jax.device_get(target))
 
 
+def save_aux(path: str, **arrays) -> None:
+    """Sidecar ``<path>_aux.npz`` next to an orbax checkpoint: the device
+    sampling-key buffers and the best-accuracy watermark. ``restore_state``
+    alone is state-complete but stream-incomplete — without these a resumed
+    run replays the sampling/augmentation sequence from iteration 0 and can
+    overwrite ``best`` with a worse post-resume epoch."""
+    import numpy as np
+
+    np.savez(
+        path + "_aux.npz",
+        **{
+            k: np.asarray(jax.device_get(v))
+            for k, v in arrays.items()
+            if v is not None
+        },
+    )
+
+
+def load_aux(path: str) -> dict:
+    """The sidecar arrays saved by :func:`save_aux`; ``{}`` when absent
+    (checkpoints from before the sidecar existed resume with a
+    step-folded key fallback instead)."""
+    import numpy as np
+
+    f = path + "_aux.npz"
+    if not os.path.exists(f):
+        return {}
+    with np.load(f) as z:
+        return {k: z[k] for k in z.files}
+
+
 def load_model_variables(path: str):
     """Restore only {params, batch_stats} from a saved train state."""
     state = _checkpointer().restore(os.path.abspath(path))

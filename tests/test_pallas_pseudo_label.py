@@ -52,54 +52,48 @@ def test_pseudo_labels_kernel_with_fused_target():
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref), atol=1e-5)
 
 
-def test_rd_losses_pallas_path_matches_jnp_interpret(monkeypatch):
-    """rd_64/rd_32 with use_pallas=True equal the jnp path (interpret mode
-    on CPU; real-TPU equality is checked by the kernel's own validation)."""
-    import functools
-
-    import jax
-
-    from dahpe_tpu.ops.pallas import pseudo_label as pk
+def test_rd_losses_from_kernel_labels_match_jnp(monkeypatch):
+    """The kernel's (GT, GF) drive the exact rd_64/rd_32/rd_16 loss values
+    the production jnp label path produces (interpret mode on CPU; real-TPU
+    bit-equality is checked by the kernel's own validation). The kernel is a
+    bench artifact — the production step's signatures carry no pallas knob —
+    so the comparison rebuilds each loss from ``pseudo_labels_pallas``
+    output directly, with the (scale, reach, gf_kind, normalize) settings
+    each rd_* uses internally."""
+    from dahpe_tpu.core.heatmap import peaks_from_heatmap
+    from dahpe_tpu.core.losses import joints_kl_loss
     from dahpe_tpu.train import disparity
-
-    orig = pk.pseudo_labels_pallas
-    monkeypatch.setattr(
-        pk, "pseudo_labels_pallas", functools.partial(orig, interpret=True)
-    )
 
     rng = np.random.default_rng(2)
     y = jnp.asarray(rng.standard_normal((2, 64, 64, 5)), jnp.float32)
     y_adv = jnp.asarray(rng.standard_normal((2, 64, 64, 5)), jnp.float32)
     y_adv2 = jnp.asarray(rng.standard_normal((2, 32, 32, 5)), jnp.float32)
+    y_adv3 = jnp.asarray(rng.standard_normal((2, 16, 16, 5)), jnp.float32)
     fused64 = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 5)), jnp.float32)
     fused32 = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 5)), jnp.float32)
     w = jnp.ones((2, 5))
+    peaks = peaks_from_heatmap(y)
+
+    def kernel_loss(y_head, fused, *, scale, reach, gf_kind, normalize, mode):
+        gt, gf = pseudo_labels_pallas(
+            peaks // scale, fused, out_size=64 // scale, reach=reach,
+            gf_kind=gf_kind, normalize=normalize, interpret=True,
+        )
+        return joints_kl_loss(y_head, gt if mode == "min" else gf, w,
+                              epsilon=disparity.EPS)
 
     for mode, fused in (("min", None), ("max", fused64)):
         a = disparity.rd_64(y, y_adv, fused, w, mode)
-        b = disparity.rd_64(y, y_adv, fused, w, mode, use_pallas=True)
+        b = kernel_loss(y_adv, fused, scale=1, reach=6,
+                        gf_kind="union_minus", normalize=True, mode=mode)
         np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
     for mode, fused in (("min", None), ("max", fused32)):
         a = disparity.rd_32(y, y_adv2, fused, w, mode)
-        b = disparity.rd_32(y, y_adv2, fused, w, mode, use_pallas=True)
+        b = kernel_loss(y_adv2, fused, scale=2, reach=4,
+                        gf_kind="inverse", normalize=True, mode=mode)
         np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
-
-
-def test_rd_16_pallas_path_matches_jnp_interpret(monkeypatch):
-    import functools
-
-    from dahpe_tpu.ops.pallas import pseudo_label as pk
-    from dahpe_tpu.train import disparity
-
-    monkeypatch.setattr(
-        pk, "pseudo_labels_pallas",
-        functools.partial(pk.pseudo_labels_pallas, interpret=True),
-    )
-    rng = np.random.default_rng(3)
-    y = jnp.asarray(rng.standard_normal((2, 64, 64, 5)), jnp.float32)
-    y_adv3 = jnp.asarray(rng.standard_normal((2, 16, 16, 5)), jnp.float32)
-    w = jnp.ones((2, 5))
     for mode in ("min", "max"):
         a = disparity.rd_16(y, y_adv3, w, mode)
-        b = disparity.rd_16(y, y_adv3, w, mode, use_pallas=True)
+        b = kernel_loss(y_adv3, None, scale=4, reach=3,
+                        gf_kind="inverse", normalize=False, mode=mode)
         np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
