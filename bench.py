@@ -107,6 +107,126 @@ def bench_train_step(batch: int = 32) -> None:
     )
 
 
+def bench_pretrain_step(batch: int = 32, iters: int = 20) -> None:
+    """Supervised pretrain iteration (``train1.py:278-325`` counterpart):
+    (a) the pure jitted step on resident batches — the 1-fwd + 1-bwd
+    roofline probe — and (b) the whole-system fused iteration from the
+    device store (on-device gather + augmentation + targets + step), the
+    ``--device-store`` pretrain phase's steady state. The (b)−(a) delta is
+    the augmentation/input share (docs/PERF.md pretrain section)."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from fixtures import make_rhd_fixture
+
+    from dahpe_tpu import models
+    from dahpe_tpu.data import DecodedCache, RenderedHandPose
+    from dahpe_tpu.data.device_store import DeviceDataStore
+    from dahpe_tpu.train import (
+        create_pretrain_state,
+        make_fused_pretrain_iteration,
+        make_pretrain_step,
+        seed_key,
+    )
+    from dahpe_tpu.parallel import replicate
+
+    model = models.PoseResNet(
+        backbone=models.get_backbone("resnet101", dtype=jnp.bfloat16),
+        num_keypoints=21, dtype=jnp.bfloat16,
+    )
+    print(f"init pretrain state (batch {batch})", file=sys.stderr)
+    state = create_pretrain_state(model, jax.random.key(0), image_size=256,
+                                  batch_size=batch)
+
+    # (a) pure step, resident synthetic batch, on-device loop differencing
+    step = make_pretrain_step(model, compute_metrics=False)
+    rng = np.random.default_rng(0)
+    b = {
+        "image": jnp.asarray(
+            rng.standard_normal((batch, 256, 256, 3)), jnp.float32
+        ),
+        "target": jnp.asarray(
+            np.clip(rng.standard_normal((batch, 64, 64, 21)), 0, None),
+            jnp.float32,
+        ),
+        "weight": jnp.ones((batch, 21), jnp.float32),
+    }
+
+    @jax.jit
+    def run_n(state, n):
+        def body(_, s):
+            s2, _m = step(s, b, jnp.float32(1e-3))
+            return s2
+        return jax.lax.fori_loop(0, n, body, state)
+
+    def timed(n):
+        t0 = time.perf_counter()
+        out = run_n(state, n)
+        float(jax.tree.leaves(out.params)[0].ravel()[0])
+        return time.perf_counter() - t0
+
+    timed(1)
+    t_lo = min(timed(1) for _ in range(2))
+    t_hi = min(timed(9) for _ in range(2))
+    step_ms = (t_hi - t_lo) / 8 * 1e3
+    print(f"pretrain pure step: {step_ms:.1f} ms/iter "
+          f"({batch / step_ms * 1e3:.0f} img/s)", file=sys.stderr)
+
+    # (b) whole-system fused iteration from the device store
+    root = tempfile.mkdtemp(prefix="dahpe_bench_")
+    try:
+        make_rhd_fixture(root, n=256)
+        ds = RenderedHandPose(root, split="train", transforms=None)
+        store = DeviceDataStore(
+            DecodedCache(ds, os.path.join(root, "_c")), verbose=False
+        )
+        fused = make_fused_pretrain_iteration(
+            model, store.mesh, store, batch, compute_metrics=False
+        )
+        fstate = replicate(
+            create_pretrain_state(model, jax.random.key(0), image_size=256,
+                                  batch_size=batch),
+            store.mesh,
+        )
+        key = seed_key(store.mesh, jax.random.key(0))
+        lr = replicate(np.float32(1e-3), store.mesh)
+        fstate, m, key = fused(fstate, key, lr)  # compile
+        float(m["loss_s"])
+
+        def ftimed(n):
+            nonlocal fstate, key
+            t0 = time.perf_counter()
+            for _ in range(n):
+                fstate, m, key = fused(fstate, key, lr)
+            float(m["loss_s"])
+            return time.perf_counter() - t0
+
+        ftimed(2)
+        e2e_ms = min(ftimed(iters) for _ in range(2)) / iters * 1e3
+        img_s = batch / e2e_ms * 1e3
+        print(
+            f"pretrain e2e (device store): {e2e_ms:.1f} ms/iter "
+            f"({img_s:.0f} img/s); aug/input share {e2e_ms - step_ms:.1f} ms",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "pretrain_e2e_images_per_sec_per_chip_256px",
+                    "value": round(img_s, 1),
+                    "unit": "images/sec",
+                    "vs_baseline": None,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_train_e2e(batch: int = 32, iters: int = 20,
                     fused: bool = True) -> None:
     """Whole-system DA training iteration on one chip with the
@@ -321,6 +441,92 @@ def bench_device_aug(batch: int = 256, warp: str = "matmul") -> None:
     )
 
 
+def bench_serving(batch: int = 96) -> None:
+    """Serving-artifact throughput: the exported StableHLO program
+    (``dahpe_tpu/serving.py``) with RAW uint8 frame ingestion — the
+    deployment configuration (clients ship camera bytes; normalize is
+    compiled into the artifact). Timed on device with the same two-loop
+    differencing as the inference bench; the one-shot wall latency through
+    this environment's tunnel is reported on stderr for context (it is
+    transport-dominated here, not representative of a co-located host)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dahpe_tpu import models
+    from dahpe_tpu.serving import export_predict, load_predict
+
+    model = models.MultiHeadPoseResNet(
+        backbone=models.get_backbone("resnet101", dtype=jnp.bfloat16),
+        num_keypoints=21, dtype=jnp.bfloat16,
+    )
+    print(f"init + export artifact (batch {batch}, uint8 in)", file=sys.stderr)
+    variables = jax.jit(
+        lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, 256, 256, 3)), train=False,
+            gl_coeff=0.0,
+        )
+    )()
+    blob = export_predict(
+        model, variables, batch_size=batch, image_size=256, heatmap_size=64,
+        uint8_input=True,
+    )
+    print(f"artifact: {len(blob)} bytes", file=sys.stderr)
+    restored = load_predict(blob)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.integers(0, 256, (batch, 256, 256, 3)), jnp.uint8
+    )
+
+    @jax.jit
+    def run_n(variables, x, n):
+        def body(_, carry):
+            x, acc = carry
+            coords, _ = restored(variables, x)
+            # data-dependent LSB flip so iterations serialize on device
+            dep = (coords[0, 0, 0].astype(jnp.int32) % 2).astype(jnp.uint8)
+            return (x ^ dep, acc + coords[0, 0, 0])
+
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
+        return acc
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(run_n(variables, x, n))
+        return time.perf_counter() - t0
+
+    timed(1)
+    t_lo = min(timed(2) for _ in range(3))
+    t_hi = min(timed(22) for _ in range(3))
+    per_batch = (t_hi - t_lo) / 20
+    img_s = batch / per_batch
+
+    # one-shot request latency incl. host<->device transfer (tunnel-bound in
+    # this environment; a co-located serving host pays microseconds instead)
+    coords, _ = restored(variables, x)  # warm
+    jax.block_until_ready(coords)
+    t0 = time.perf_counter()
+    coords, _ = restored(variables, x)
+    np.asarray(coords)
+    wall = time.perf_counter() - t0
+    print(
+        f"serving: {per_batch*1e3:.2f} ms/batch-{batch} on device "
+        f"({img_s:.1f} img/s); one-shot incl. transport {wall*1e3:.1f} ms",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "serving_artifact_images_per_sec_per_chip_256px_uint8",
+                "value": round(img_s, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(img_s / REF_GPU_IMG_S, 2),
+                "vs_baseline_is_estimate": True,
+            }
+        )
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -328,6 +534,9 @@ def main() -> None:
     from dahpe_tpu import models
 
     _enable_compile_cache()
+    if len(sys.argv) > 1 and sys.argv[1] == "serve":
+        bench_serving(int(sys.argv[2]) if len(sys.argv) > 2 else 96)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "data":
         bench_data_pipeline(cached="cached" in sys.argv[2:])
         return
@@ -340,10 +549,17 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         bench_train_step(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "pretrain":
+        bench_pretrain_step(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "e2e":
+        # flags and the batch int may come in either order
+        # (`e2e 32 unfused` and `e2e unfused` both work)
+        rest = sys.argv[2:]
+        nums = [int(a) for a in rest if a.lstrip("-").isdigit()]
         bench_train_e2e(
-            int(sys.argv[2]) if len(sys.argv) > 2 else 32,
-            fused="unfused" not in sys.argv[2:],
+            nums[0] if nums else 32,
+            fused="unfused" not in rest,
         )
         return
 

@@ -147,6 +147,23 @@ def build_val_loader(args, dataset):
     )
 
 
+def build_device_val_loader(args, dataset, *, mesh=None, name=""):
+    """HBM-resident validation loader (``--device-store``): the val split is
+    uploaded once at ``raw_size == image_size`` (the deterministic PIL val
+    geometry is baked into the upload, bit-identical) and every eval batch is
+    a pure on-device program — no per-batch host→device traffic. Shared by
+    the train CLI's per-epoch validation and ``cli/test.py``."""
+    from dahpe_tpu.data.device_store import DeviceDataStore
+
+    store = DeviceDataStore(
+        maybe_decoded_cache(args, dataset, raw_size=args.image_size),
+        mesh=mesh, shard_samples=False, raw_size=args.image_size,
+    )
+    print(f"device store (val {name}): {store.n} samples, "
+          f"{store.nbytes() / 1e9:.2f} GB HBM")
+    return store.eval_loader(args.batch_size, heatmap_size=args.heatmap_size)
+
+
 def build_loaders(
     args, train_source, val_source, train_target, val_target, *, train_mode=None
 ):

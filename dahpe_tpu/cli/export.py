@@ -40,6 +40,10 @@ def build_export_parser() -> argparse.ArgumentParser:
                    help="fixed batch; omit for a batch-polymorphic artifact")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute dtype (params stay fp32)")
+    p.add_argument("--uint8-input", action="store_true",
+                   help="artifact ingests raw uint8 HWC frames and "
+                        "normalizes on device (4x fewer bytes per frame "
+                        "over any transport than a float32 feed)")
     return p
 
 
@@ -59,7 +63,7 @@ def main(args):
     save_predict(
         args.output, model, variables,
         batch_size=args.batch_size, image_size=args.image_size,
-        heatmap_size=args.heatmap_size,
+        heatmap_size=args.heatmap_size, uint8_input=args.uint8_input,
     )
     weights = args.output + ".weights.npz"
     save_variables_npz(weights, variables)

@@ -13,8 +13,9 @@ import jax
 from dahpe_tpu.cli.args import build_parser
 from dahpe_tpu.cli.common import (
     build_datasets,
-    build_loaders,
+    build_device_val_loader,
     build_model,
+    build_val_loader,
     enable_compile_cache,
     make_visualizer,
 )
@@ -28,10 +29,19 @@ def main(args):
     logger = RunLogger(args.log, "test")
     print(args)
 
-    (train_source, val_source, train_target, val_target) = build_datasets(args)
-    (_, val_source_loader, _, val_target_loader) = build_loaders(
-        args, train_source, val_source, train_target, val_target
-    )
+    # evaluation needs only the two val splits — no train loaders are built
+    (_, val_source, _, val_target) = build_datasets(args)
+    if args.device_store:
+        # HBM-resident eval: through a high-latency host↔device transport
+        # (this environment's tunnel: ~26 ms/transfer, ~75 MB/s) a host
+        # loader would make the real 3.2k-image H3D sweep transfer-bound
+        val_source_loader = build_device_val_loader(args, val_source,
+                                                    name="source")
+        val_target_loader = build_device_val_loader(args, val_target,
+                                                    name="target")
+    else:
+        val_source_loader = build_val_loader(args, val_source)
+        val_target_loader = build_val_loader(args, val_target)
 
     model = build_model(args, multi_head=True)
     import jax.numpy as jnp

@@ -41,12 +41,18 @@ def make_eval_step(model):
     return eval_step
 
 
-def make_predict_fn(model, *, image_size: int = 256, heatmap_size: int = 64):
+def make_predict_fn(model, *, image_size: int = 256, heatmap_size: int = 64,
+                    uint8_input: bool = False):
     """Serving entry: images → keypoint coordinates, one fused XLA program.
 
     Returns a jitted ``(variables, images (B,H,W,3)) -> (coords (B,K,2),
     maxvals (B,K,1))`` with coordinates in IMAGE pixels (heatmap argmax
     scaled by the stride, the reference's deployment decode).
+
+    ``uint8_input=True`` makes the program ingest raw uint8 HWC frames and
+    fold the ImageNet normalization into the compiled graph — deployment
+    clients send camera bytes as-is and every transport link carries 4x
+    fewer bytes than a pre-normalized float32 feed.
     """
     from dahpe_tpu.core.decode import get_max_preds
 
@@ -54,6 +60,13 @@ def make_predict_fn(model, *, image_size: int = 256, heatmap_size: int = 64):
 
     @jax.jit
     def predict(variables, images):
+        if uint8_input:
+            from dahpe_tpu.data.device_aug import IMAGENET_MEAN, IMAGENET_STD
+
+            images = images.astype(jnp.float32) / 255.0
+            images = (images - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
+                IMAGENET_STD
+            )
         out = model.apply(variables, images, train=False, gl_coeff=0.0)
         y = out["y"] if isinstance(out, dict) else out
         preds, maxvals = get_max_preds(y)

@@ -30,17 +30,23 @@ def _shapes_of(tree):
 
 def export_predict(model, variables, *, batch_size: int | None = None,
                    image_size: int = 256, heatmap_size: int = 64,
-                   input_dtype=jnp.float32) -> bytes:
+                   input_dtype=jnp.float32,
+                   uint8_input: bool = False) -> bytes:
     """Serialize the serving program to portable StableHLO bytes.
 
     The exported callable keeps the ``(variables, images) -> (coords,
     maxvals)`` signature (weights are runtime inputs, so one artifact serves
     many checkpoints). ``batch_size=None`` exports a batch-polymorphic
-    artifact via a symbolic leading dimension.
+    artifact via a symbolic leading dimension. ``uint8_input=True`` exports
+    the raw-frame ingestion variant: uint8 HWC in, ImageNet normalization
+    compiled into the artifact — clients ship 4x fewer bytes per frame.
     """
     predict = make_predict_fn(
-        model, image_size=image_size, heatmap_size=heatmap_size
+        model, image_size=image_size, heatmap_size=heatmap_size,
+        uint8_input=uint8_input,
     )
+    if uint8_input:
+        input_dtype = jnp.uint8
     if batch_size is None:
         (b,) = jax_export.symbolic_shape("b")
     else:

@@ -115,6 +115,29 @@ def test_train_cli_device_store_fused(tmp_path):
     assert "Target: -1.000" not in text, "target validation PCK is -1"
     assert "Source: -1.000" not in text, "source validation PCK is -1"
 
+    # evaluate the orbax checkpoint through the test CLI's device-resident
+    # eval path (--device-store, VERDICT r2 item 4): no host val loaders
+    from dahpe_tpu.cli import test as test_cli
+
+    test_log = str(tmp_path / "logs_test")
+    targs = _args(
+        [
+            h3d_root, "--source_root", rhd_root, "-t", "Hand3DStudio",
+            "-a", "resnet18", "-b", "2", "--workers", "2",
+            "--log", test_log, "--image-size", "64", "--heatmap-size", "16",
+            "--device-store", "--decoded-cache", str(tmp_path / "cache"),
+            "--checkpoint", os.path.join(ckpt_dir, "best"),
+        ],
+        phase="test",
+    )
+    test_cli.main(targs)
+    ttext = "".join(
+        open(os.path.join(test_log, f)).read()
+        for f in os.listdir(test_log) if f.endswith(".txt")
+    )
+    assert "device store (val target)" in ttext
+    assert "Target: -1.000" not in ttext
+
 
 @pytest.mark.slow
 def test_test_cli_with_reference_pth(tmp_path):
@@ -142,6 +165,8 @@ def test_test_cli_with_reference_pth(tmp_path):
             "--log", str(tmp_path / "logs_pth"),
             "--image-size", "128",
             "--heatmap-size", "32",
+            # the .pth route through the device-resident eval path too
+            "--device-store", "--decoded-cache", str(tmp_path / "cache"),
             "--checkpoint", "PLACEHOLDER",
         ],
         phase="test",

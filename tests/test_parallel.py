@@ -94,3 +94,15 @@ def test_parallel_eval_step():
     y = eval_step(variables, x)
     assert y.shape == (8, 16, 16, 4)
     assert not y.sharding.is_fully_replicated  # batch stays sharded
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_full_depth(capsys):
+    """VERDICT r2 item 7: the 8-device dry run at PRODUCTION depth
+    (resnet101 [3,4,23,3]) — depth-dependent sharding/key-map bugs can't
+    hide behind the [1,1,1,1] mini model the fast driver check uses."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8, full_depth=True)
+    out = capsys.readouterr().out
+    assert "full depth" in out and "dryrun_multichip ok" in out
