@@ -12,12 +12,17 @@ from dahpe_tpu.data.datasets.h3d import Hand3DStudio, Hand3DStudioAll
 from dahpe_tpu.data.datasets.rhd import RenderedHandPose
 from dahpe_tpu.data.datasets.stb import STB
 from dahpe_tpu.data.pipeline import BatchLoader, ForeverIterator, finalize_batch
+from dahpe_tpu.data.synthetic import SyntheticHandsSource, SyntheticHandsTarget
 
 DATASETS = {
     "RenderedHandPose": RenderedHandPose,
     "Hand3DStudio": Hand3DStudio,
     "Hand3DStudioAll": Hand3DStudioAll,
     "STB": STB,
+    # asset-free procedural domains with a controlled photometric shift
+    # (data/synthetic.py) — the adaptation acceptance experiment + soak runs
+    "SyntheticHandsSource": SyntheticHandsSource,
+    "SyntheticHandsTarget": SyntheticHandsTarget,
 }
 
 
@@ -47,7 +52,8 @@ def get_dataset(name: str, **kwargs):
         raise ValueError(
             f"unknown dataset {name!r}; choices: {sorted(DATASETS)}"
         ) from None
-    check_exists(kwargs.get("root"), name)
+    if getattr(cls, "requires_root", True):
+        check_exists(kwargs.get("root"), name)
     return cls(**kwargs)
 
 

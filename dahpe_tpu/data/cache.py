@@ -43,6 +43,10 @@ def _identity(dataset, raw_size: int) -> dict:
         "split": getattr(dataset, "split", None),
         "num_samples": len(dataset),
         "raw_size": int(raw_size),
+        # datasets whose content isn't determined by (root, split) — e.g.
+        # the procedural synthetic domains (domain, seed) — contribute
+        # their extra identity here so a stale cache can't be reused
+        "extra": getattr(dataset, "cache_identity", None),
         "version": 1,
     }
 

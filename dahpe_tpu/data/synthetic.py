@@ -1,0 +1,226 @@
+"""Procedural hand-pose domains with a controlled photometric domain shift.
+
+The reference's entire value proposition is the target-PCK gain of its
+3-step adversarial loop (``train1.py:328-458``) over source-only training
+(``train1.py:278-325``). The real RHD/H3D/STB assets it reports that gain on
+are not available in this environment, so this module provides an
+ASSET-FREE, fully reproducible substitute: two domains drawn from the SAME
+generative hand-geometry process whose appearance differs the way a
+synthetic→real shift does (polarity, color balance, background statistics,
+blur). Source images are labeled; target labels exist only for evaluation —
+exactly the unsupervised-DA protocol.
+
+Used by :mod:`dahpe_tpu.experiments.adaptation` (the acceptance experiment
+that demonstrates DA > source-only) and its regression test
+``tests/test_adaptation.py``.
+
+Geometry: 21 keypoints in the reference's Hand21 layout (wrist + 5 fingers
+x 4 joints, ``keypoint_dataset.py:115-147``): a fan of fingers around a
+jittered wrist with per-finger length/curvature jitter and a bounded global
+orientation, rendered as anti-aliased strokes with joint dots. Because the
+fingers carry no texture identity, keypoint identity is encoded purely by
+pose — the localization task is non-trivial but learnable by a small
+backbone at 64x64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+from dahpe_tpu.data.datasets.base import Hand21KeypointDataset
+
+# canvas the hands are rendered on before the standard dataset resize
+CANVAS = 160
+
+# per-finger fan: base angle offsets (deg) and length factors
+_FINGER_ANGLES = (-50.0, -25.0, 0.0, 25.0, 50.0)
+_FINGER_LENGTH = (0.80, 1.00, 1.05, 1.00, 0.90)
+# joint radii along a finger, as a fraction of the canvas
+_JOINT_RADII = (0.14, 0.23, 0.31, 0.38)
+
+
+def _hand_geometry(rng: np.random.Generator, size: int) -> np.ndarray:
+    """21 keypoints (Hand21 order) for one sample, in pixel coordinates."""
+    c = float(size)
+    wrist = np.asarray([0.5, 0.62]) * c + rng.uniform(-0.06, 0.06, 2) * c
+    theta0 = np.deg2rad(rng.uniform(-35.0, 35.0))
+    kp = np.empty((21, 2), np.float64)
+    kp[0] = wrist
+    for f in range(5):
+        ang = theta0 + np.deg2rad(
+            _FINGER_ANGLES[f] + rng.uniform(-6.0, 6.0)
+        )
+        drift = np.deg2rad(rng.uniform(-5.0, 5.0))
+        length = _FINGER_LENGTH[f] * rng.uniform(0.92, 1.08)
+        for j in range(4):
+            a = ang + drift * j
+            r = _JOINT_RADII[j] * length * c
+            # screen y grows downward; fingers point "up" from the wrist
+            kp[1 + 4 * f + j] = wrist + r * np.asarray(
+                [np.sin(a), -np.cos(a)]
+            )
+    return kp
+
+
+def _render_mask(kp: np.ndarray, size: int, rng: np.random.Generator):
+    """Anti-aliased stroke+dot coverage mask in [0, 1] for the skeleton."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    mask = np.zeros((size, size), np.float32)
+    thick = 0.016 * size
+
+    def _segment(p, q):
+        d = q - p
+        L2 = float(d @ d) + 1e-6
+        t = np.clip(((xx - p[0]) * d[0] + (yy - p[1]) * d[1]) / L2, 0.0, 1.0)
+        px, py = p[0] + t * d[0], p[1] + t * d[1]
+        return np.hypot(xx - px, yy - py)
+
+    for f in range(5):
+        chain = [0] + [1 + 4 * f + j for j in range(4)]
+        for a, b in zip(chain[:-1], chain[1:]):
+            dist = _segment(kp[a].astype(np.float32), kp[b].astype(np.float32))
+            np.maximum(mask, np.exp(-((dist / thick) ** 2)), out=mask)
+    # joint dots, slightly fatter so peaks are localizable
+    for i in range(21):
+        dist = np.hypot(xx - kp[i, 0], yy - kp[i, 1])
+        np.maximum(
+            mask, np.exp(-((dist / (1.5 * thick)) ** 2)), out=mask
+        )
+    return np.clip(mask, 0.0, 1.0)
+
+
+def _low_freq_noise(rng: np.random.Generator, size: int, cells: int = 8):
+    """Smooth blotchy background field in [-1, 1] (bilinear-upsampled grid)."""
+    coarse = rng.standard_normal((cells + 1, cells + 1)).astype(np.float32)
+    img = Image.fromarray(coarse, mode="F").resize(
+        (size, size), Image.BILINEAR
+    )
+    out = np.asarray(img, np.float32)
+    return out / (np.abs(out).max() + 1e-6)
+
+
+def render_sample(index: int, *, domain: str, seed: int, size: int = CANVAS):
+    """(image uint8 (size,size,3), keypoint2d (21,2) float32) for one index.
+
+    Both domains share the geometry process; only the appearance differs:
+
+    - ``source``: bright warm strokes on a dark, high-frequency-noise
+      background (the "rendered/synthetic" look).
+    - ``target``: dark cool strokes on a bright, low-frequency textured
+      background with mild blur (the "real photo" look) — polarity, color
+      balance, background statistics, and sharpness all shifted at once.
+    """
+    geo_rng = np.random.default_rng((seed, 17, index))
+    # NOT hash(): Python string hashing is per-process randomized, and the
+    # render must be bit-identical across loader workers/hosts
+    domain_id = {"source": 0, "target": 1}.get(domain, 2)
+    app_rng = np.random.default_rng((seed, 31, index, domain_id))
+    kp = _hand_geometry(geo_rng, size)
+    mask = _render_mask(kp, size, geo_rng)
+
+    if domain == "source":
+        bg = 35.0 + 18.0 * app_rng.standard_normal((size, size, 1))
+        fg = np.asarray([230.0, 195.0, 160.0])
+        img = bg * (1.0 - mask[..., None]) + fg * mask[..., None]
+    elif domain == "target":
+        field = _low_freq_noise(app_rng, size)[..., None]
+        bg = 205.0 + 28.0 * field + 10.0 * app_rng.standard_normal(
+            (size, size, 1)
+        )
+        fg = np.asarray([55.0, 70.0, 95.0])
+        img = bg * (1.0 - mask[..., None]) + fg * mask[..., None]
+        # mild defocus: 3x3 box blur via shifted sums
+        p = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        img = sum(
+            p[dy:dy + size, dx:dx + size]
+            for dy in range(3) for dx in range(3)
+        ) / 9.0
+    else:
+        raise ValueError(f"unknown domain {domain!r}")
+    return (
+        np.clip(img, 0, 255).astype(np.uint8),
+        kp.astype(np.float32),
+    )
+
+
+class SyntheticHands(Hand21KeypointDataset):
+    """Hand21 dataset over the procedural generator.
+
+    ``split='train'`` and ``split='test'`` draw disjoint index ranges from
+    the same process. Implements ``_crop_raw`` so the whole device-input
+    stack (``fetch_raw`` → :class:`~dahpe_tpu.data.device_store.DeviceDataStore`
+    → fused on-device augmentation) works unchanged.
+    """
+
+    # procedural: the registry's dataset-root existence check is meaningless
+    requires_root = False
+
+    @property
+    def cache_identity(self):
+        """Extra :mod:`~dahpe_tpu.data.cache` identity: content depends on
+        (domain, seed), not on any filesystem root."""
+        return {"domain": self.domain, "seed": self.seed}
+
+    def __init__(self, root: str = "", *, domain: str = "source",
+                 split: str = "train", n: int = 512, seed: int = 0,
+                 transforms=None, image_size=(64, 64),
+                 heatmap_size=(16, 16), **kwargs):
+        if domain not in ("source", "target"):
+            raise ValueError(f"unknown domain {domain!r}")
+        self.domain = domain
+        self.split = split
+        self.seed = int(seed)
+        base = 1_000_000 if split == "test" else 0
+        samples = [base + i for i in range(n)]
+        super().__init__(root, samples, transforms=transforms,
+                         image_size=image_size, heatmap_size=heatmap_size,
+                         **kwargs)
+
+    def _crop_raw(self, index: int):
+        img, kp = render_sample(
+            self.samples[index], domain=self.domain, seed=self.seed
+        )
+        intrinsic = np.asarray(
+            [[CANVAS, 0, CANVAS / 2], [0, CANVAS, CANVAS / 2], [0, 0, 1]],
+            np.float32,
+        )
+        return (
+            Image.fromarray(img),
+            kp,
+            intrinsic,
+            np.ones(21, np.float32),
+        )
+
+    def fetch(self, index: int, rng: np.random.Generator) -> dict:
+        """PIL-transform path (host loaders); raw path is :meth:`fetch_raw`."""
+        image, keypoint2d, intrinsic_matrix, visible = self._crop_raw(index)
+        data = {
+            "keypoint2d": keypoint2d,
+            "intrinsic_matrix": intrinsic_matrix,
+        }
+        if self.transforms is not None:
+            image, data = self.transforms(image, rng=rng, **data)
+        return {
+            "image": image,
+            "keypoint2d": data["keypoint2d"],
+            "visible": visible,
+            "intrinsic_matrix": data["intrinsic_matrix"],
+        }
+
+
+class SyntheticHandsSource(SyntheticHands):
+    """Registry entry: the labeled synthetic-look source domain."""
+
+    def __init__(self, root: str = "", **kwargs):
+        kwargs.setdefault("n", 256 if kwargs.get("split") == "test" else 2048)
+        super().__init__(root, domain="source", **kwargs)
+
+
+class SyntheticHandsTarget(SyntheticHands):
+    """Registry entry: the shifted 'real-look' target domain (labels used
+    only by evaluation, per the unsupervised-DA protocol)."""
+
+    def __init__(self, root: str = "", **kwargs):
+        kwargs.setdefault("n", 256 if kwargs.get("split") == "test" else 2048)
+        super().__init__(root, domain="target", **kwargs)
