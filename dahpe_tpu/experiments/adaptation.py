@@ -57,6 +57,7 @@ def run_adaptation_experiment(
     rotation: float = 30.0,
     scale_range=(0.75, 1.25),
     raw_size: int = 96,
+    shift: float = 0.4,
     seed: int = 0,
     with_ema: bool = True,
     eval_every: int = 100,
@@ -84,6 +85,10 @@ def run_adaptation_experiment(
     )
     from dahpe_tpu.utils.torch_import import filtered_update
 
+    from dahpe_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()  # repeat runs skip the minutes-long compiles
+
     def log(msg):
         if verbose:
             print(msg, flush=True)
@@ -100,10 +105,12 @@ def run_adaptation_experiment(
     mk = dict(n=n_train, seed=seed, image_size=(image_size,) * 2,
               heatmap_size=(heatmap_size,) * 2)
     src_train = SyntheticHands(domain="source", split="train", **mk)
-    tgt_train = SyntheticHands(domain="target", split="train", **mk)
+    tgt_train = SyntheticHands(domain="target", split="train", shift=shift,
+                               **mk)
     mkv = dict(mk, n=n_val)
     src_val = SyntheticHands(domain="source", split="test", **mkv)
-    tgt_val = SyntheticHands(domain="target", split="test", **mkv)
+    tgt_val = SyntheticHands(domain="target", split="test", shift=shift,
+                             **mkv)
 
     src_store = DeviceDataStore(src_train, mesh=mesh, raw_size=raw_size,
                                 verbose=False)
@@ -239,16 +246,29 @@ def run_adaptation_experiment(
 
 if __name__ == "__main__":
     import argparse
+    import json
 
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("--arch", default="mini")
-    p.add_argument("--pre-iters", type=int, default=300)
-    p.add_argument("--da-iters", type=int, default=300)
-    p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--n-train", type=int, default=384)
+    p.add_argument("--arch", default="resnet18")
+    p.add_argument("--pre-iters", type=int, default=4000)
+    p.add_argument("--da-iters", type=int, default=3000)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--n-train", type=int, default=512)
+    p.add_argument("--image-size", type=int, default=128)
+    p.add_argument("--heatmap-size", type=int, default=32)
+    p.add_argument("--raw-size", type=int, default=160)
+    p.add_argument("--shift", type=float, default=0.4)
+    p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", default=None,
+                   help="also write the result dict to this path")
     a = p.parse_args()
-    run_adaptation_experiment(
+    r = run_adaptation_experiment(
         arch=a.arch, pre_iters=a.pre_iters, da_iters=a.da_iters,
-        batch=a.batch, n_train=a.n_train, seed=a.seed,
+        batch=a.batch, n_train=a.n_train, image_size=a.image_size,
+        heatmap_size=a.heatmap_size, raw_size=a.raw_size, shift=a.shift,
+        eval_every=a.eval_every, seed=a.seed,
     )
+    if a.json:
+        with open(a.json, "w") as f:
+            json.dump(r, f)
