@@ -56,7 +56,7 @@ def _parse_metrics(log_text):
         r"Source: *([\d.-]+) Target: *([\d.-]+) Target\(best\): *([\d.-]+)",
         log_text,
     )]
-    best = [float(m.group(3)) for m in re.finditer(
+    best = [float(m.group(1)) for m in re.finditer(
         r"Target\(best\): *([\d.-]+)", log_text
     )]
     times = [float(m.group(1)) for m in re.finditer(
