@@ -66,9 +66,10 @@ def run_adaptation_experiment(
 ) -> dict:
     """Returns ``{"source_only": pck, "da": pck, "gain": …, "curve": […]}``.
 
-    ``arch='mini'`` is a [1,1,1,1]-bottleneck backbone sized for the CPU
-    mesh regression test; any name in ``models.BACKBONES`` works (the real
-    chip runs resnet101 in minutes).
+    ``arch='mini'`` is a [1,1,1,1]-bottleneck backbone for quick smoke
+    runs; any name in ``models.BACKBONES`` works. The acceptance
+    configuration is the ``__main__`` defaults (resnet18 @ 128²/32, shift
+    0.4 — see docs/ACCURACY.md); on one chip it runs in ~5 minutes.
     """
     from dahpe_tpu import models
     from dahpe_tpu.data.device_store import DeviceDataStore
