@@ -60,6 +60,7 @@ def run_adaptation_experiment(
     shift: float = 0.4,
     seed: int = 0,
     with_ema: bool = True,
+    bf16: bool = False,
     eval_every: int = 100,
     n_devices: int = 1,
     verbose: bool = True,
@@ -124,16 +125,20 @@ def run_adaptation_experiment(
                                  raw_size=image_size, verbose=False)
     sval_loader = sval_store.eval_loader(batch, heatmap_size=heatmap_size)
 
+    dtype = jnp.bfloat16 if bf16 else None
+
     def make_backbone():
         if arch == "mini":
-            return models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1])
-        return models.get_backbone(arch)
+            return models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1],
+                                 dtype=dtype)
+        return models.get_backbone(arch, dtype=dtype)
 
     aug = dict(image_size=image_size, heatmap_size=heatmap_size,
                rotation=rotation, scale_range=tuple(scale_range))
 
     # ---- phase 1: supervised source pretrain --------------------------
-    pre_model = models.PoseResNet(backbone=make_backbone(), num_keypoints=21)
+    pre_model = models.PoseResNet(backbone=make_backbone(), num_keypoints=21,
+                                  dtype=dtype)
     pre_state = replicate(
         create_pretrain_state(pre_model, jax.random.key(seed),
                               image_size=image_size, batch_size=batch),
@@ -181,7 +186,7 @@ def run_adaptation_experiment(
 
     # ---- DA: the full 3-step minimax from the same pretrain ------------
     da_model = models.MultiHeadPoseResNet(backbone=make_backbone(),
-                                          num_keypoints=21)
+                                          num_keypoints=21, dtype=dtype)
     da_state = create_da_state(
         da_model, jax.random.key(seed), image_size=image_size,
         batch_size=batch, with_ema=with_ema,
@@ -260,6 +265,7 @@ if __name__ == "__main__":
     p.add_argument("--raw-size", type=int, default=160)
     p.add_argument("--shift", type=float, default=0.4)
     p.add_argument("--eval-every", type=int, default=500)
+    p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", default=None,
                    help="also write the result dict to this path")
@@ -268,7 +274,7 @@ if __name__ == "__main__":
         arch=a.arch, pre_iters=a.pre_iters, da_iters=a.da_iters,
         batch=a.batch, n_train=a.n_train, image_size=a.image_size,
         heatmap_size=a.heatmap_size, raw_size=a.raw_size, shift=a.shift,
-        eval_every=a.eval_every, seed=a.seed,
+        eval_every=a.eval_every, bf16=a.bf16, seed=a.seed,
     )
     if a.json:
         with open(a.json, "w") as f:
