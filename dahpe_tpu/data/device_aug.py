@@ -203,14 +203,12 @@ def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray,
     kmax_a = int(np.ceil(0.41422 * (n - 1) / 2.0)) + 1
     kmax_b = int(np.ceil(0.70711 * (n - 1) / 2.0)) + 1
     if use_pallas:
-        # one VMEM-resident kernel per shear (HBM: one read + one write,
-        # the op's speed of light) instead of ~9 masked-shift passes each;
-        # bit-identical math (ops/pallas/shear.py)
-        from dahpe_tpu.ops.pallas.shear import shear_pallas
+        # ALL three shears in one VMEM-resident kernel (HBM: one canvas read
+        # + one write total — the rotation's speed of light) instead of ~9
+        # masked-shift passes each; bit-identical math (ops/pallas/shear.py)
+        from dahpe_tpu.ops.pallas.shear import rotate3_pallas
 
-        image = shear_pallas(image, a, kmax=kmax_a, axis=2)
-        image = shear_pallas(image, b, kmax=kmax_b, axis=1)
-        image = shear_pallas(image, a, kmax=kmax_a, axis=2)
+        image = rotate3_pallas(image, a, b, kmax_a=kmax_a, kmax_b=kmax_b)
     else:
         image = _shear_x(image, a, kmax_a)
         image = _shear_y(image, b, kmax_b)

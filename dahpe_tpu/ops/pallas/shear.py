@@ -29,12 +29,12 @@ def _levels(kmax: int) -> int:
     return max(1, (2 * kmax).bit_length())
 
 
-def _shear_kernel(slope_ref, img_ref, out_ref, *, kmax: int, axis: int):
-    """Shear img (C, H, W) along ``axis`` (2: per-row shift along W — the
-    ``_shear_x`` map; 1: per-column shift along H — ``_shear_y``) by
-    ``slope * (line - center)``."""
-    c, h, w = img_ref.shape
-    sl = slope_ref[0, 0]
+def _shear_block(block: jnp.ndarray, sl, *, kmax: int, axis: int) -> jnp.ndarray:
+    """Shear a (C, H, W) VMEM-resident block along ``axis`` (2: per-row shift
+    along W — the ``_shear_x`` map; 1: per-column shift along H —
+    ``_shear_y``) by ``slope * (line - center)``. Pure array→array so the
+    single-shear and fused three-shear kernels share one body."""
+    c, h, w = block.shape
     if axis == 2:
         n_lines = h
         # Mosaic iota must be integer-typed; cast after
@@ -47,7 +47,6 @@ def _shear_kernel(slope_ref, img_ref, out_ref, *, kmax: int, axis: int):
     kk = jnp.clip(k.astype(jnp.int32) + kmax, 0, 2 * kmax)
     w2 = jnp.round((s - k) * 256.0).astype(jnp.int32)
 
-    block = img_ref[...]
     if axis == 2:
         work = jnp.pad(block, ((0, 0), (0, 0), (kmax, kmax)))
     else:
@@ -67,7 +66,26 @@ def _shear_kernel(slope_ref, img_ref, out_ref, *, kmax: int, axis: int):
         lo = work[:, :h, :].astype(jnp.int32)
         hi = work[:, 1 : h + 1, :].astype(jnp.int32)
     out = (lo * (256 - w2) + hi * w2 + 128) >> 8
-    out_ref[...] = out.astype(jnp.uint16)
+    return out.astype(jnp.uint16)
+
+
+def _shear_kernel(slope_ref, img_ref, out_ref, *, kmax: int, axis: int):
+    out_ref[...] = _shear_block(img_ref[...], slope_ref[0, 0],
+                                kmax=kmax, axis=axis)
+
+
+def _rotate3_kernel(slopes_ref, img_ref, out_ref, *, kmax_a: int, kmax_b: int):
+    """The full Paeth rotation ShX(a) . ShY(b) . ShX(a) in ONE kernel: the
+    canvas is read from HBM once, all three shears (and their two
+    intermediate canvases) stay in VMEM, and the result is written once —
+    2 HBM passes instead of the 6 the per-shear kernels need."""
+    a = slopes_ref[0, 0]
+    b = slopes_ref[0, 1]
+    x = img_ref[...]
+    x = _shear_block(x, a, kmax=kmax_a, axis=2)
+    x = _shear_block(x, b, kmax=kmax_b, axis=1)
+    x = _shear_block(x, a, kmax=kmax_a, axis=2)
+    out_ref[...] = x
 
 
 @functools.partial(jax.jit, static_argnames=("kmax", "axis", "interpret"))
@@ -104,3 +122,44 @@ def shear_pallas(
         out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.uint16),
         interpret=interpret,
     )(jnp.reshape(slope, (1, 1)).astype(jnp.float32), image)
+
+
+@functools.partial(jax.jit, static_argnames=("kmax_a", "kmax_b", "interpret"))
+def rotate3_pallas(
+    image: jnp.ndarray,
+    slope_a: jnp.ndarray,
+    slope_b: jnp.ndarray,
+    *,
+    kmax_a: int,
+    kmax_b: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused three-shear (Paeth) rotation ShX(a) . ShY(b) . ShX(a) of one
+    8.8 fixed-point canvas in a single Pallas kernel (vmap for batches).
+
+    Bit-identical to applying :func:`shear_pallas` (or the jnp shears in
+    ``data/device_aug.py``) three times; saves the two intermediate HBM
+    round trips and two kernel launches.
+
+    Args:
+      image: (C, H, W) uint16 (8.8 fixed point).
+      slope_a: scalar float32 x-shear slope (applied first and last).
+      slope_b: scalar float32 y-shear slope (applied in the middle).
+      kmax_a / kmax_b: static integer-shift bounds for the x / y shears.
+    Returns: (C, H, W) uint16.
+    """
+    c, h, w = image.shape
+    kernel = functools.partial(_rotate3_kernel, kmax_a=kmax_a, kmax_b=kmax_b)
+    slopes = jnp.stack(
+        [jnp.asarray(slope_a, jnp.float32), jnp.asarray(slope_b, jnp.float32)]
+    ).reshape(1, 2)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.uint16),
+        interpret=interpret,
+    )(slopes, image)

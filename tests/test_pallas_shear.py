@@ -48,13 +48,29 @@ def test_vmapped_shear_exact():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_rotate3_fused_exact():
+    """The fused three-shear kernel == the three jnp shears, bit for bit."""
+    from dahpe_tpu.ops.pallas.shear import rotate3_pallas
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.integers(0, 65535, (3, 70, 70)), jnp.uint16)
+    for a, b in ((0.0, 0.0), (-0.2, 0.38), (0.41421, -0.70710)):
+        ref = da._shear_x(
+            da._shear_y(da._shear_x(img, jnp.float32(a), 30),
+                        jnp.float32(b), 51),
+            jnp.float32(a), 30)
+        got = rotate3_pallas(img, jnp.float32(a), jnp.float32(b),
+                             kmax_a=30, kmax_b=51, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_rotate_shears_pallas_exact(monkeypatch):
-    """The full quarter-turn + three-shear rotation through the kernel."""
+    """The full quarter-turn + three-shear rotation through the fused kernel."""
     import dahpe_tpu.ops.pallas.shear as shear_mod
 
-    real = shear_mod.shear_pallas
+    real = shear_mod.rotate3_pallas
     monkeypatch.setattr(
-        shear_mod, "shear_pallas",
+        shear_mod, "rotate3_pallas",
         lambda *a, **kw: real(*a, interpret=True, **kw),
     )
     rng = np.random.default_rng(3)
