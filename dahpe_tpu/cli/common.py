@@ -24,23 +24,29 @@ def build_model(args, multi_head: bool = True):
     return models.PoseResNet(backbone=backbone, num_keypoints=21, dtype=dtype)
 
 
-def build_datasets(args):
-    train_tf = T.train_transform(
-        args.image_size, args.rotation, tuple(args.resize_scale)
-    )
+def build_datasets(args, *, val_only: bool = False):
+    """The four dataset splits; ``val_only=True`` skips constructing the two
+    train splits (the eval CLI never touches them, and a real train split —
+    e.g. RHD's 41k-sample annotation parse — costs seconds of host time)."""
     val_tf = T.val_transform(args.image_size)
     common = dict(
         image_size=(args.image_size, args.image_size),
         heatmap_size=(args.heatmap_size, args.heatmap_size),
     )
-    train_source = get_dataset(
-        args.source, root=args.source_root, transforms=train_tf, **common
-    )
+    if val_only:
+        train_source = train_target = None
+    else:
+        train_tf = T.train_transform(
+            args.image_size, args.rotation, tuple(args.resize_scale)
+        )
+        train_source = get_dataset(
+            args.source, root=args.source_root, transforms=train_tf, **common
+        )
+        train_target = get_dataset(
+            args.target, root=args.target_root, transforms=train_tf, **common
+        )
     val_source = get_dataset(
         args.source, root=args.source_root, split="test", transforms=val_tf, **common
-    )
-    train_target = get_dataset(
-        args.target, root=args.target_root, transforms=train_tf, **common
     )
     val_target = get_dataset(
         args.target, root=args.target_root, split="test", transforms=val_tf, **common

@@ -29,8 +29,8 @@ def main(args):
     logger = RunLogger(args.log, "test")
     print(args)
 
-    # evaluation needs only the two val splits — no train loaders are built
-    (_, val_source, _, val_target) = build_datasets(args)
+    # evaluation needs only the two val splits — no train datasets/loaders
+    (_, val_source, _, val_target) = build_datasets(args, val_only=True)
     if args.device_store:
         # HBM-resident eval: through a high-latency host↔device transport
         # (this environment's tunnel: ~26 ms/transfer, ~75 MB/s) a host

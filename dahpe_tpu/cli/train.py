@@ -227,9 +227,12 @@ def main(args):
         state = ckpt.restore_state(args.resume, state)
         resume_aux = ckpt.load_aux(args.resume)
         start_epoch = int(state.step) // args.iters_per_epoch
+        # "(with stream keys)" must track the keys specifically — soak.py
+        # asserts on it as evidence the sampling streams truly continued; a
+        # best_acc-only sidecar (host-loader run) must not claim it
         print(
             f"resumed from {args.resume} at epoch {start_epoch}"
-            + (" (with stream keys)" if resume_aux else "")
+            + (" (with stream keys)" if "key_s" in resume_aux else "")
         )
     else:
         pretrain_path = args.pretrain
@@ -312,9 +315,14 @@ def main(args):
 
     current_stream_aux = dict  # per-mode override below
 
-    aug_keys = (
-        iter_keys(jax.random.key(args.seed)) if args.device_aug else None
-    )
+    # host-loader on-device augmentation: fold the restored step into the
+    # key sequence so a resumed run does not replay the augmentations it
+    # already trained on (same contract as fresh_stream_key; the loaders'
+    # sample order is epoch-seeded and advances with start_epoch)
+    aug_key_base = jax.random.key(args.seed)
+    if int(state.step):
+        aug_key_base = jax.random.fold_in(aug_key_base, int(state.step))
+    aug_keys = iter_keys(aug_key_base) if args.device_aug else None
 
     if args.device_store and not args.debug:
         # ONE dispatch per iteration: both stores' on-device gather +

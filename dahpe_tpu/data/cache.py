@@ -37,18 +37,24 @@ _META = "meta.npz"
 
 def _identity(dataset, raw_size: int) -> dict:
     """What must match for a cache directory to be reused."""
-    return {
+    ident = {
         "dataset": type(dataset).__name__,
         "root": os.path.abspath(getattr(dataset, "root", "")),
         "split": getattr(dataset, "split", None),
         "num_samples": len(dataset),
         "raw_size": int(raw_size),
-        # datasets whose content isn't determined by (root, split) — e.g.
-        # the procedural synthetic domains (domain, seed) — contribute
-        # their extra identity here so a stale cache can't be reused
-        "extra": getattr(dataset, "cache_identity", None),
         "version": 1,
     }
+    # datasets whose content isn't determined by (root, split) — e.g. the
+    # procedural synthetic domains (domain, seed) — contribute their extra
+    # identity so a stale cache can't be reused. Omitted (not None) when
+    # absent: manifests written before this key existed must stay valid —
+    # comparison is exact-dict, and a spurious mismatch silently re-decodes
+    # a multi-GB cache on the single host core.
+    extra = getattr(dataset, "cache_identity", None)
+    if extra is not None:
+        ident["extra"] = extra
+    return ident
 
 
 def build_cache(dataset, cache_dir: str, *, raw_size: int = 288,

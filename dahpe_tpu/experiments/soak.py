@@ -59,8 +59,13 @@ def _parse_metrics(log_text):
     best = [float(m.group(1)) for m in re.finditer(
         r"Target\(best\): *([\d.-]+)", log_text
     )]
+    # DA-iteration times only: the pretrain phase prints the same "Time"
+    # meter but at ~1/3 the cost (1 fwd/bwd vs 3), and mixing the phases
+    # into the stability quartiles would let epoch-split choices fake (or
+    # hide) a drift. DA display lines are the ones carrying the
+    # target-disparity meters.
     times = [float(m.group(1)) for m in re.finditer(
-        r"Time +([\d.]+) +\(", log_text
+        r"Time +([\d.]+) +\([^\n]*Loss \(t, false\)", log_text
     )]
     return tgt, best, times
 

@@ -39,30 +39,47 @@ def save_aux(path: str, **arrays) -> None:
     sampling-key buffers and the best-accuracy watermark. ``restore_state``
     alone is state-complete but stream-incomplete — without these a resumed
     run replays the sampling/augmentation sequence from iteration 0 and can
-    overwrite ``best`` with a worse post-resume epoch."""
+    overwrite ``best`` with a worse post-resume epoch.
+
+    Written atomically (tmp + ``os.replace``) so a crash mid-save — the
+    exact scenario resume exists for — can never leave a truncated sidecar
+    in place of the last good one. Under multi-host only process 0 writes
+    (the key buffers are replicated; orbax coordinates its own writers,
+    this sidecar must not have N uncoordinated ones)."""
     import numpy as np
 
-    np.savez(
-        path + "_aux.npz",
-        **{
-            k: np.asarray(jax.device_get(v))
-            for k, v in arrays.items()
-            if v is not None
-        },
-    )
+    if jax.process_index() != 0:
+        return
+    final = path + "_aux.npz"
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(
+            fh,
+            **{
+                k: np.asarray(jax.device_get(v))
+                for k, v in arrays.items()
+                if v is not None
+            },
+        )
+    os.replace(tmp, final)
 
 
 def load_aux(path: str) -> dict:
-    """The sidecar arrays saved by :func:`save_aux`; ``{}`` when absent
-    (checkpoints from before the sidecar existed resume with a
-    step-folded key fallback instead)."""
+    """The sidecar arrays saved by :func:`save_aux`; ``{}`` when absent or
+    unreadable (checkpoints from before the sidecar existed — or a sidecar
+    truncated by a crash predating the atomic write — resume with a
+    step-folded key fallback instead of crashing)."""
     import numpy as np
 
     f = path + "_aux.npz"
     if not os.path.exists(f):
         return {}
-    with np.load(f) as z:
-        return {k: z[k] for k in z.files}
+    try:
+        with np.load(f) as z:
+            return {k: z[k] for k in z.files}
+    except Exception as e:  # truncated/corrupt zip: degrade, don't die
+        print(f"warning: ignoring unreadable resume sidecar {f}: {e}")
+        return {}
 
 
 def load_model_variables(path: str):
