@@ -47,6 +47,15 @@ def test_manifest_guards_reuse_and_staleness(rhd, tmp_path):
     cache = DecodedCache(rhd, d, build=False)
     with pytest.raises(ValueError):
         cache.fetch_raw(0, np.random.default_rng(0), raw_size=224)
+    # manifests written before the optional "extra" identity key existed
+    # must stay valid — the exact-dict comparison would otherwise silently
+    # re-decode every pre-existing cache
+    import json
+    from dahpe_tpu.data.cache import _identity
+    assert "extra" not in _identity(rhd, 288)
+    manifest = json.load(open(tmp_path / "c" / "manifest.json"))
+    assert "extra" not in manifest
+    assert cache_is_valid(rhd, d, 288)
 
 
 def test_fetch_warped_consumes_same_rng_stream(rhd, tmp_path):

@@ -76,6 +76,11 @@ def test_aux_sidecar_roundtrip(tmp_path):
     ckpt.save_aux(path + "2", best_acc=1.0, key_s=None, key_t=None)
     assert set(ckpt.load_aux(path + "2")) == {"best_acc"}
     assert ckpt.load_aux(str(tmp_path / "nope")) == {}
+    # the write is atomic (no .tmp survivor) and a sidecar truncated by a
+    # crash degrades to {} (step-folded key fallback) instead of crashing
+    assert not (tmp_path / "ckpt_aux.npz.tmp").exists()
+    (tmp_path / "ckpt_aux.npz").write_bytes(b"not a zipfile")
+    assert ckpt.load_aux(path) == {}
 
 
 def test_fused_resume_is_bit_identical_to_straight_run(stores, tmp_path):
