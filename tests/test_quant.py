@@ -1,0 +1,173 @@
+"""Post-training int8 serving quantization (`dahpe_tpu/quant.py`).
+
+Gate 1 — the folded functional forward must match ``model.apply`` in float
+(structure + BN folding are exactly equivalent transforms). Gate 2 — the
+int8 forward must track the float forward closely enough that the serving
+decode (heatmap argmax) is unaffected for essentially all samples.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dahpe_tpu import models, quant
+
+
+def _random_variables(model, image_size, seed=0):
+    return jax.jit(
+        lambda r: model.init(
+            r, jnp.zeros((1, image_size, image_size, 3)), train=False,
+            gl_coeff=0.0,
+        )
+    )(jax.random.key(seed))
+
+
+def _trainish_variables(model, image_size, seed=0):
+    """Random init pushed through a few train-mode steps so BN running
+    stats are non-trivial (folding must use them, not the init zeros/ones)."""
+    variables = _random_variables(model, image_size, seed)
+    x = jax.random.normal(
+        jax.random.key(seed + 1), (4, image_size, image_size, 3)
+    )
+    for _ in range(2):
+        _, upd = model.apply(
+            variables, x, train=True, gl_coeff=0.0, mutable=["batch_stats"]
+        )
+        variables = {"params": variables["params"], **upd}
+    return variables
+
+
+@pytest.mark.parametrize("multi_head", [True, False])
+def test_folded_forward_matches_model(multi_head):
+    image_size = 64
+    backbone = models.get_backbone("resnet18")
+    if multi_head:
+        model = models.MultiHeadPoseResNet(backbone=backbone, num_keypoints=21)
+    else:
+        model = models.PoseResNet(backbone=backbone, num_keypoints=21)
+    variables = _trainish_variables(model, image_size)
+    x = jax.random.normal(jax.random.key(7), (2, image_size, image_size, 3))
+
+    out = model.apply(variables, x, train=False, gl_coeff=0.0)
+    y_ref = np.asarray(out["y"] if isinstance(out, dict) else out)
+
+    folded = quant.fold_serving_params(variables)
+    y_fold = np.asarray(quant.apply_folded(folded, x))
+    np.testing.assert_allclose(y_fold, y_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_bottleneck_backbone_folds():
+    """Bottleneck blocks (conv3 + stride-2 downsample path) fold exactly
+    too — mini depth so the CPU run stays fast."""
+    from dahpe_tpu.models.resnet import Bottleneck, ResNet
+
+    image_size = 64
+    model = models.MultiHeadPoseResNet(
+        backbone=ResNet(block=Bottleneck, layers=[1, 1, 1, 1]),
+        num_keypoints=21,
+    )
+    variables = _trainish_variables(model, image_size, seed=3)
+    x = jax.random.normal(jax.random.key(9), (2, image_size, image_size, 3))
+    y_ref = np.asarray(
+        model.apply(variables, x, train=False, gl_coeff=0.0)["y"]
+    )
+    y_fold = np.asarray(
+        quant.apply_folded(quant.fold_serving_params(variables), x)
+    )
+    np.testing.assert_allclose(y_fold, y_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_int8_tracks_float_heatmaps():
+    """Random-weight heatmaps are near-flat, so argmax is noise — here only
+    the heatmap-level error bound is meaningful; decode agreement is gated
+    on a trained model below."""
+    image_size = 64
+    model = models.MultiHeadPoseResNet(
+        backbone=models.get_backbone("resnet18"), num_keypoints=21
+    )
+    variables = _trainish_variables(model, image_size, seed=1)
+    calib = jax.random.normal(jax.random.key(2), (4, image_size, image_size, 3))
+    x = jax.random.normal(jax.random.key(3), (8, image_size, image_size, 3))
+
+    folded = quant.fold_serving_params(variables)
+    y_f = np.asarray(quant.apply_folded(folded, x))
+    qtree = quant.quantize_serving(
+        folded, quant.calibrate_act_scales(folded, calib)
+    )
+    y_q = np.asarray(quant.apply_int8(qtree, x))
+    err = np.abs(y_q - y_f).mean()
+    assert err < 0.1 * y_f.std(), (err, y_f.std())
+
+
+@pytest.mark.slow
+def test_int8_preserves_trained_accuracy():
+    """The acceptance that matters: on a model trained to peaked heatmaps
+    (the dot-localization task of tests/test_learning.py), int8 serving
+    must preserve the float model's PCK and decode."""
+    from dahpe_tpu.core.decode import get_max_preds
+    from dahpe_tpu.core.metrics import pck_accuracy
+    from dahpe_tpu.models.resnet import BasicBlock, ResNet
+    from dahpe_tpu.train import create_pretrain_state, make_pretrain_step
+    from tests.test_learning import _dot_batch
+
+    rng = np.random.default_rng(0)
+    model = models.PoseResNet(
+        backbone=ResNet(block=BasicBlock, layers=[1, 1, 1, 1]), num_keypoints=3
+    )
+    state = create_pretrain_state(model, jax.random.key(0), image_size=64)
+    step = jax.jit(make_pretrain_step(model))
+    batch, _ = _dot_batch(rng)
+    for _ in range(60):
+        state, _ = step(state, batch, jnp.asarray(0.02))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    folded = quant.fold_serving_params(variables)
+    y_f = quant.apply_folded(folded, batch["image"])
+    qtree = quant.quantize_serving(
+        folded, quant.calibrate_act_scales(folded, batch["image"])
+    )
+    y_q = quant.apply_int8(qtree, batch["image"])
+
+    _, pck_f, _, _ = pck_accuracy(y_f, batch["target"])
+    _, pck_q, _, _ = pck_accuracy(y_q, batch["target"])
+    assert float(pck_f) > 0.5  # the model did learn — the gate is real
+    assert float(pck_q) >= float(pck_f) - 0.05, (float(pck_f), float(pck_q))
+
+    pf, _ = jax.device_get(get_max_preds(y_f))
+    pq, _ = jax.device_get(get_max_preds(y_q))
+    close = (np.abs(pf - pq).max(-1) <= 1.0).mean()
+    assert close >= 0.9, close
+
+
+def test_int8_predict_fn_contract():
+    """Same (params, images) -> (coords, maxvals) contract as
+    evaluate.make_predict_fn, incl. the uint8 ingestion variant."""
+    image_size, heatmap_size = 64, 16
+    model = models.MultiHeadPoseResNet(
+        backbone=models.get_backbone("resnet18"), num_keypoints=21
+    )
+    variables = _trainish_variables(model, image_size, seed=4)
+    calib = jax.random.normal(jax.random.key(5), (2, image_size, image_size, 3))
+    qtree = quant.quantize_model(model, variables, calib)
+
+    predict = quant.make_int8_predict_fn(
+        image_size=image_size, heatmap_size=heatmap_size
+    )
+    x = jax.random.normal(jax.random.key(6), (3, image_size, image_size, 3))
+    coords, maxvals = predict(qtree, x)
+    assert coords.shape == (3, 21, 2) and maxvals.shape == (3, 21, 1)
+    assert float(jnp.max(coords)) <= image_size  # image-pixel scale
+
+    pred8 = quant.make_int8_predict_fn(
+        image_size=image_size, heatmap_size=heatmap_size, uint8_input=True
+    )
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 255, (3, image_size, image_size, 3)
+        ),
+        jnp.uint8,
+    )
+    coords8, _ = pred8(qtree, frames)
+    assert coords8.shape == (3, 21, 2)
