@@ -441,35 +441,61 @@ def bench_device_aug(batch: int = 256, warp: str = "matmul") -> None:
     )
 
 
-def bench_serving(batch: int = 96) -> None:
+def bench_serving(batch: int = 96, int8: bool = False,
+                  glue: str = "bfloat16") -> None:
     """Serving-artifact throughput: the exported StableHLO program
     (``dahpe_tpu/serving.py``) with RAW uint8 frame ingestion — the
     deployment configuration (clients ship camera bytes; normalize is
-    compiled into the artifact). Timed on device with the same two-loop
-    differencing as the inference bench; the one-shot wall latency through
-    this environment's tunnel is reported on stderr for context (it is
-    transport-dominated here, not representative of a co-located host)."""
+    compiled into the artifact). With ``int8``, the artifact is the
+    post-training-quantized program (``dahpe_tpu/quant.py``: BN-folded
+    per-channel int8 convs on the MXU). Timed on device with the same
+    two-loop differencing as the inference bench; the one-shot wall latency
+    through this environment's tunnel is reported on stderr for context (it
+    is transport-dominated here, not representative of a co-located host)."""
     import jax
     import jax.numpy as jnp
 
     from dahpe_tpu import models
-    from dahpe_tpu.serving import export_predict, load_predict
+    from dahpe_tpu.serving import (
+        export_predict, export_predict_int8, load_predict,
+    )
 
     model = models.MultiHeadPoseResNet(
         backbone=models.get_backbone("resnet101", dtype=jnp.bfloat16),
         num_keypoints=21, dtype=jnp.bfloat16,
     )
-    print(f"init + export artifact (batch {batch}, uint8 in)", file=sys.stderr)
+    kind = f"int8/{glue}-glue" if int8 else "bf16"
+    print(
+        f"init + export artifact (batch {batch}, uint8 in, {kind})",
+        file=sys.stderr,
+    )
     variables = jax.jit(
         lambda: model.init(
             jax.random.key(0), jnp.zeros((1, 256, 256, 3)), train=False,
             gl_coeff=0.0,
         )
     )()
-    blob = export_predict(
-        model, variables, batch_size=batch, image_size=256, heatmap_size=64,
-        uint8_input=True,
-    )
+    if int8:
+        from dahpe_tpu import quant
+        from dahpe_tpu.data.device_aug import IMAGENET_MEAN, IMAGENET_STD
+
+        rng = np.random.default_rng(1)
+        calib = (
+            jnp.asarray(
+                rng.integers(0, 256, (8, 256, 256, 3)), jnp.float32
+            ) / 255.0
+            - jnp.asarray(IMAGENET_MEAN)
+        ) / jnp.asarray(IMAGENET_STD)
+        variables = quant.quantize_model(model, variables, calib)
+        blob = export_predict_int8(
+            variables, batch_size=batch, image_size=256, heatmap_size=64,
+            uint8_input=True, glue=glue,
+        )
+    else:
+        blob = export_predict(
+            model, variables, batch_size=batch, image_size=256,
+            heatmap_size=64, uint8_input=True,
+        )
     print(f"artifact: {len(blob)} bytes", file=sys.stderr)
     restored = load_predict(blob)
 
@@ -510,14 +536,17 @@ def bench_serving(batch: int = 96) -> None:
     np.asarray(coords)
     wall = time.perf_counter() - t0
     print(
-        f"serving: {per_batch*1e3:.2f} ms/batch-{batch} on device "
+        f"serving ({kind}): {per_batch*1e3:.2f} ms/batch-{batch} on device "
         f"({img_s:.1f} img/s); one-shot incl. transport {wall*1e3:.1f} ms",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "serving_artifact_images_per_sec_per_chip_256px_uint8",
+                "metric": "serving_artifact_images_per_sec_per_chip_256px_"
+                          "uint8"
+                          + ("_int8" if int8 else "")
+                          + ("_f32glue" if int8 and glue == "float32" else ""),
                 "value": round(img_s, 1),
                 "unit": "images/sec",
                 "vs_baseline": round(img_s / REF_GPU_IMG_S, 2),
@@ -535,7 +564,12 @@ def main() -> None:
 
     _enable_compile_cache()
     if len(sys.argv) > 1 and sys.argv[1] == "serve":
-        bench_serving(int(sys.argv[2]) if len(sys.argv) > 2 else 96)
+        rest = sys.argv[2:]
+        nums = [int(a) for a in rest if a.lstrip("-").isdigit()]
+        bench_serving(
+            nums[0] if nums else 96, int8="int8" in rest,
+            glue="float32" if "f32glue" in rest else "bfloat16",
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "data":
         bench_data_pipeline(cached="cached" in sys.argv[2:])

@@ -44,7 +44,60 @@ def build_export_parser() -> argparse.ArgumentParser:
                    help="artifact ingests raw uint8 HWC frames and "
                         "normalizes on device (4x fewer bytes per frame "
                         "over any transport than a float32 feed)")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization (dahpe_tpu.quant): "
+                        "BN-folded per-channel int8 convs on the MXU; at the "
+                        "measured-best deployment point (batch 256, bf16 "
+                        "glue) ~1.5x serving throughput (docs/PERF.md)")
+    p.add_argument("--int8-glue", choices=["bfloat16", "float32"],
+                   default="bfloat16",
+                   help="inter-conv activation storage dtype of the int8 "
+                        "artifact; throughput is strongly batch-dependent "
+                        "for either choice — see the measured batch x glue "
+                        "matrix in docs/PERF.md before deploying")
+    p.add_argument("--calib-npz", default=None,
+                   help="calibration images for --int8: an .npz with "
+                        "'images' (normalized model inputs, NHWC float) or "
+                        "'frames' (raw uint8 HWC, normalized here); without "
+                        "it calibration falls back to random frames — fine "
+                        "for scale coverage, but pass real data for "
+                        "deployment")
     return p
+
+
+def _calibration_images(args) -> jnp.ndarray:
+    """Normalized NHWC calibration batch for --int8: user-supplied images
+    (``--calib-npz``) or, as a fallback, random frames through the ImageNet
+    normalization (covers the activation-scale *range*; real data is better
+    — say so on stderr)."""
+    import sys
+
+    import numpy as np
+
+    from dahpe_tpu.data.device_aug import IMAGENET_MEAN, IMAGENET_STD
+
+    def normalize(frames):
+        x = jnp.asarray(frames, jnp.float32) / 255.0
+        return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+    if args.calib_npz:
+        with np.load(args.calib_npz) as data:
+            if "images" in data:
+                return jnp.asarray(data["images"], jnp.float32)
+            if "frames" in data:
+                return normalize(data["frames"])
+            raise SystemExit(
+                f"--calib-npz {args.calib_npz}: need 'images' or 'frames'"
+            )
+    print(
+        "--int8 without --calib-npz: calibrating on random frames "
+        "(pass real data for deployment accuracy)",
+        file=sys.stderr,
+    )
+    rng = np.random.default_rng(0)
+    return normalize(
+        rng.integers(0, 256, (8, args.image_size, args.image_size, 3))
+    )
 
 
 def main(args):
@@ -60,18 +113,34 @@ def main(args):
                                             strict=True)
     else:
         variables = ckpt.load_model_variables(args.checkpoint)
-    save_predict(
-        args.output, model, variables,
-        batch_size=args.batch_size, image_size=args.image_size,
-        heatmap_size=args.heatmap_size, uint8_input=args.uint8_input,
-    )
     weights = args.output + ".weights.npz"
-    save_variables_npz(weights, variables)
+    if args.int8:
+        from dahpe_tpu import quant
+        from dahpe_tpu.serving import export_predict_int8, save_quantized_npz
+
+        calib = _calibration_images(args)
+        qtree = quant.quantize_model(model, variables, calib)
+        blob = export_predict_int8(
+            qtree, batch_size=args.batch_size, image_size=args.image_size,
+            heatmap_size=args.heatmap_size, uint8_input=args.uint8_input,
+            glue=args.int8_glue,
+        )
+        with open(args.output, "wb") as f:
+            f.write(blob)
+        save_quantized_npz(weights, qtree)
+    else:
+        save_predict(
+            args.output, model, variables,
+            batch_size=args.batch_size, image_size=args.image_size,
+            heatmap_size=args.heatmap_size, uint8_input=args.uint8_input,
+        )
+        save_variables_npz(weights, variables)
     import os
 
     b = args.batch_size if args.batch_size is not None else "polymorphic"
+    kind = " int8" if args.int8 else ""
     print(
-        f"exported {args.arch}@{args.image_size} (batch {b}) "
+        f"exported {args.arch}@{args.image_size}{kind} (batch {b}) "
         f"-> {args.output} ({os.path.getsize(args.output)} bytes) "
         f"+ {weights} ({os.path.getsize(weights)} bytes)"
     )

@@ -2,10 +2,15 @@
 
 The MXU runs int8×int8→int32 at ~2.3× its bf16 rate on v5e (measured:
 423 vs 181 TFLOP/s on a 3×3/256ch conv probe), and the serving forward is
-conv-dominated — so a quantized artifact buys up to ~2× serving throughput
-from the same chip. The reference has no quantization story (deployment is
-"re-run the eval script", ``test.py:190-201``); this is a TPU-native
-extension of ``dahpe_tpu/serving.py``.
+conv-dominated — so a quantized artifact buys real serving throughput from
+the same chip. Measured end-to-end (resnet101@256, docs/PERF.md): the gain
+is strongly batch- and glue-dtype-dependent — the deployment point is
+batch 256 with bfloat16 glue at **7566 img/s, 1.48× the float artifact's
+best** (f32 glue: 5861 at batch 96; bf16 glue at batch 96 is a tiling
+pathology at 3732 — bench your exact batch before deploying). The reference
+has no quantization story (deployment is "re-run the eval script",
+``test.py:190-201``); this is a TPU-native extension of
+``dahpe_tpu/serving.py``.
 
 Design — the standard PTQ recipe, arranged for XLA:
 
@@ -280,21 +285,37 @@ def quantize_serving(folded: dict, act_scales: dict) -> dict:
     return out
 
 
-def apply_int8(quantized: dict, x: jnp.ndarray) -> jnp.ndarray:
+def apply_int8(quantized: dict, x: jnp.ndarray,
+               glue=jnp.bfloat16) -> jnp.ndarray:
     """The quantized serving forward: every conv int8×int8→int32 on the MXU,
-    dequant+bias+ReLU glue in float32 (XLA fuses it into the epilogues)."""
+    dequant+bias+ReLU glue fused into the epilogues by XLA.
+
+    ``glue`` is the dtype activations are *stored* in between convs (ReLU
+    outputs, residual adds, maxpool). The per-conv quantize math
+    (divide/round/clip) always runs in float32 in-registers; ``glue`` only
+    sets the HBM format of the layer-boundary tensors. bfloat16 (default)
+    halves the inter-layer HBM traffic that dominates the early,
+    memory-bound ResNet stages — and its rounding noise is an order of
+    magnitude below the int8 quantization noise already accepted on every
+    conv input (the conv input gets crushed to 8 bits regardless of how
+    the tensor was stored). float32 is the bit-conservative mode used by
+    the quantization-error tests."""
 
     def conv_op(name, x, e, *, stride, padding, lhs_dilation):
-        xq = jnp.clip(jnp.round(x / e["sx"]), -127, 127).astype(jnp.int8)
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / e["sx"]), -127, 127
+        ).astype(jnp.int8)
         yq = _conv_base(
             xq, jnp.asarray(e["wq"]),
             stride=stride, padding=padding, lhs_dilation=lhs_dilation,
             preferred=jnp.int32,
         )
         scale = jnp.asarray(e["sw"], jnp.float32) * e["sx"]
-        return yq.astype(jnp.float32) * scale + jnp.asarray(e["b"], jnp.float32)
+        y = yq.astype(jnp.float32) * scale + jnp.asarray(e["b"], jnp.float32)
+        return y.astype(glue)
 
-    return _forward(quantized, x.astype(jnp.float32), conv_op)
+    # decode reads the final heatmaps in float32 regardless of glue
+    return _forward(quantized, x.astype(glue), conv_op).astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -302,10 +323,11 @@ def apply_int8(quantized: dict, x: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 def make_int8_predict_fn(*, image_size: int = 256, heatmap_size: int = 64,
-                         uint8_input: bool = False):
+                         uint8_input: bool = False, glue=jnp.bfloat16):
     """Quantized serving entry: ``(quantized, images) → (coords, maxvals)``,
     coordinates in image pixels — the int8 twin of
-    ``evaluate.make_predict_fn`` (same decode, same uint8-ingest option)."""
+    ``evaluate.make_predict_fn`` (same decode, same uint8-ingest option).
+    ``glue`` — see :func:`apply_int8`."""
     from dahpe_tpu.core.decode import get_max_preds
 
     scale = image_size / heatmap_size
@@ -319,7 +341,7 @@ def make_int8_predict_fn(*, image_size: int = 256, heatmap_size: int = 64,
             images = (images - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
                 IMAGENET_STD
             )
-        y = apply_int8(quantized, images)
+        y = apply_int8(quantized, images, glue=glue)
         preds, maxvals = get_max_preds(y)
         return preds * scale, maxvals
 

@@ -56,6 +56,42 @@ def export_predict(model, variables, *, batch_size: int | None = None,
     return bytes(exported.serialize())
 
 
+def export_predict_int8(quantized, *, batch_size: int | None = None,
+                        image_size: int = 256, heatmap_size: int = 64,
+                        uint8_input: bool = False,
+                        glue: str = "bfloat16") -> bytes:
+    """Serialize the **int8** serving program (``dahpe_tpu/quant.py``) to
+    portable StableHLO bytes.
+
+    Same contract as :func:`export_predict` but the first runtime input is
+    the quantized deployment tree from :func:`dahpe_tpu.quant.quantize_model`
+    (int8 per-channel weights + calibrated activation scales); every conv in
+    the artifact runs int8×int8→int32 on the MXU. Reload with
+    :func:`load_predict` — the artifact needs jax alone.
+
+    ``glue`` ("bfloat16" | "float32") is the inter-conv activation storage
+    dtype (see ``quant.apply_int8``). Throughput is strongly
+    batch×glue-dependent on v5e (docs/PERF.md has the measured matrix);
+    bfloat16 at batch 256 is the measured-best deployment point.
+    """
+    from dahpe_tpu.quant import make_int8_predict_fn
+
+    predict = make_int8_predict_fn(
+        image_size=image_size, heatmap_size=heatmap_size,
+        uint8_input=uint8_input, glue=jnp.dtype(glue),
+    )
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = batch_size
+    x = jax.ShapeDtypeStruct(
+        (b, image_size, image_size, 3),
+        jnp.uint8 if uint8_input else jnp.float32,
+    )
+    exported = jax_export.export(predict)(_shapes_of(quantized), x)
+    return bytes(exported.serialize())
+
+
 def load_predict(blob: bytes):
     """Rebuild the serving callable from :func:`export_predict` bytes."""
     return jax_export.deserialize(blob).call
@@ -84,6 +120,54 @@ def save_variables_npz(path: str, variables) -> None:
         for path, leaf in flat
     }
     onp.savez(path, **arrays)
+
+
+def save_quantized_npz(path: str, quantized) -> None:
+    """Weight file for an int8 artifact: the quantized deployment tree
+    (which nests lists — layers/blocks/head stages) flattened to a plain
+    ``.npz``. Int8 weights make it ~4x smaller than the float npz."""
+    import numpy as onp
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(quantized)
+    arrays = {}
+    for keypath, leaf in flat:
+        parts = []
+        for k in keypath:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        arrays["/".join(parts)] = onp.asarray(leaf)
+    onp.savez(path, **arrays)
+
+
+def load_quantized_npz(path: str):
+    """Rebuild the quantized deployment tree from :func:`save_quantized_npz`
+    output (all-digit key levels become lists again, restoring the
+    ``layers``/``up``/``head`` sequences ``apply_int8`` iterates)."""
+    import numpy as onp
+
+    out: dict = {}
+    with onp.load(path) as data:
+        for key in data.files:
+            node = out
+            *parents, leaf = key.split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            a = data[key]
+            node[leaf] = jnp.asarray(a) if a.ndim else a[()]
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            return [node[str(i)] for i in range(len(node))]
+        return node
+
+    return listify(out)
 
 
 def load_variables_npz(path: str):

@@ -79,10 +79,15 @@ def test_bottleneck_backbone_folds():
     np.testing.assert_allclose(y_fold, y_ref, rtol=2e-4, atol=2e-5)
 
 
-def test_int8_tracks_float_heatmaps():
+@pytest.mark.parametrize(
+    "glue", [jnp.float32, jnp.bfloat16], ids=["f32glue", "bf16glue"]
+)
+def test_int8_tracks_float_heatmaps(glue):
     """Random-weight heatmaps are near-flat, so argmax is noise — here only
     the heatmap-level error bound is meaningful; decode agreement is gated
-    on a trained model below."""
+    on a trained model below. Both glue dtypes must hold the bound: bf16
+    storage noise between convs has to stay below the int8 quantization
+    noise it rides on (apply_int8 docstring)."""
     image_size = 64
     model = models.MultiHeadPoseResNet(
         backbone=models.get_backbone("resnet18"), num_keypoints=21
@@ -96,7 +101,7 @@ def test_int8_tracks_float_heatmaps():
     qtree = quant.quantize_serving(
         folded, quant.calibrate_act_scales(folded, calib)
     )
-    y_q = np.asarray(quant.apply_int8(qtree, x))
+    y_q = np.asarray(quant.apply_int8(qtree, x, glue=glue))
     err = np.abs(y_q - y_f).mean()
     assert err < 0.1 * y_f.std(), (err, y_f.std())
 
