@@ -88,6 +88,16 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                              "(one resample for rotate+crop+resize + jitter + "
                              "blur + normalize), Gaussian targets on device")
     if phase == "test":
-        parser.add_argument("--checkpoint", type=str, required=True,
+        parser.add_argument("--checkpoint", type=str, default=None,
                             help="checkpoint to evaluate (orbax dir or .pth)")
+        parser.add_argument("--artifact", type=str, default=None,
+                            help="evaluate an EXPORTED serving artifact "
+                                 "(cli.export StableHLO + sibling "
+                                 ".weights.npz; float or --int8) instead of "
+                                 "a checkpoint — the deployment acceptance "
+                                 "run. PCK comes from the artifact's own "
+                                 "decoded coordinates. The artifact must be "
+                                 "float-input (no --uint8-input) and its "
+                                 "export batch must equal -b (or be "
+                                 "batch-polymorphic)")
     return parser

@@ -4,6 +4,11 @@
 loads a checkpoint (orbax dir, or a reference torch ``.pth`` incl. the
 published ``STB_best_750.pth`` / ``H3D_best_754.pth``) and reports per-group
 PCK@0.05 on the source and target test splits (``test.py:37-227`` parity).
+
+``--artifact model.stablehlo`` instead evaluates an EXPORTED serving
+artifact (``cli.export``; float or int8): same loaders and PCK grouping,
+but scoring the artifact's own decoded coordinates — the deployment
+acceptance run the reference has no equivalent of.
 """
 
 from __future__ import annotations
@@ -43,24 +48,43 @@ def main(args):
         val_source_loader = build_val_loader(args, val_source)
         val_target_loader = build_val_loader(args, val_target)
 
-    model = build_model(args, multi_head=True)
-    import jax.numpy as jnp
+    if (args.checkpoint is None) == (getattr(args, "artifact", None) is None):
+        raise SystemExit("pass exactly one of --checkpoint / --artifact")
 
-    template = jax.jit(
-        lambda r: model.init(
-            r,
-            jnp.zeros((1, args.image_size, args.image_size, 3)),
-            train=False,
-            gl_coeff=0.0,
+    if args.artifact:
+        # deployment acceptance: drive the exported StableHLO program
+        # (float or int8) and score its own decoded coordinates
+        from dahpe_tpu.evaluate import make_artifact_eval_step
+        from dahpe_tpu.serving import load_artifact_weights, load_predict_file
+
+        model = None
+        predict = load_predict_file(args.artifact)
+        variables = load_artifact_weights(args.artifact + ".weights.npz")
+        print(f"loaded artifact {args.artifact}")
+        eval_step = make_artifact_eval_step(
+            predict, image_size=args.image_size,
+            heatmap_size=args.heatmap_size,
         )
-    )(jax.random.key(0))
-    if args.checkpoint.endswith(".pth"):
-        variables = ckpt.load_reference_pth(args.checkpoint, template, strict=True)
     else:
-        variables = ckpt.load_model_variables(args.checkpoint)
-    print(f"loaded {args.checkpoint}")
+        model = build_model(args, multi_head=True)
+        import jax.numpy as jnp
 
-    eval_step = make_eval_step(model)
+        template = jax.jit(
+            lambda r: model.init(
+                r,
+                jnp.zeros((1, args.image_size, args.image_size, 3)),
+                train=False,
+                gl_coeff=0.0,
+            )
+        )(jax.random.key(0))
+        if args.checkpoint.endswith(".pth"):
+            variables = ckpt.load_reference_pth(
+                args.checkpoint, template, strict=True
+            )
+        else:
+            variables = ckpt.load_model_variables(args.checkpoint)
+        print(f"loaded {args.checkpoint}")
+        eval_step = make_eval_step(model)
     visualize = make_visualizer(val_target, logger) if args.debug else None
     src_acc = validate(
         val_source_loader, model, variables, val_source,

@@ -41,6 +41,55 @@ def make_eval_step(model):
     return eval_step
 
 
+def make_artifact_eval_step(predict, *, image_size: int = 256,
+                            heatmap_size: int = 64):
+    """Eval step driving an EXPORTED serving artifact instead of a live
+    model — the deployment acceptance path of ``cli.test --artifact``.
+
+    ``predict`` is the reloaded StableHLO callable (``serving.load_predict``
+    / ``load_predict_file``; float or int8 artifact alike): ``(weights,
+    images) → (coords_image_px, maxvals)``. PCK is computed from the
+    artifact's own decoded coordinates mapped back to heatmap pixels —
+    ``coords / (image_size/heatmap_size)`` is the exact inverse of the
+    artifact's decode scaling, so a float artifact reproduces the
+    checkpoint's PCK bit-for-bit and an int8 artifact's PCK gap IS its
+    quantization cost on real data. The artifact emits no heatmaps, so the
+    KL loss is reported as NaN (coordinates are the deployment contract).
+    """
+    from dahpe_tpu.core.decode import get_max_preds
+    from dahpe_tpu.core.metrics import calc_dists, dist_acc
+
+    scale = image_size / heatmap_size
+
+    @jax.jit
+    def eval_step(variables, batch):
+        coords, _ = predict(variables, batch["image"].astype(jnp.float32))
+        pred = coords / scale  # heatmap px
+        gt, _ = get_max_preds(batch["target"])
+        b, h, w, _ = batch["target"].shape
+        norm = jnp.ones((b, 2), jnp.float32) * jnp.asarray(
+            [h, w], jnp.float32
+        ) / 10.0
+        dists = calc_dists(pred.astype(jnp.float32), gt, norm)
+        acc = dist_acc(dists)
+        valid = acc >= 0
+        cnt = jnp.sum(valid)
+        avg = jnp.where(
+            cnt > 0,
+            jnp.sum(jnp.where(valid, acc, 0.0)) / jnp.maximum(cnt, 1),
+            0.0,
+        )
+        return {
+            "loss_per_sample": jnp.full((b,), jnp.nan, jnp.float32),
+            "acc_per_joint": acc,
+            "avg_acc": avg,
+            "cnt": cnt,
+            "pred": pred,
+        }
+
+    return eval_step
+
+
 def make_predict_fn(model, *, image_size: int = 256, heatmap_size: int = 64,
                     uint8_input: bool = False):
     """Serving entry: images → keypoint coordinates, one fused XLA program.

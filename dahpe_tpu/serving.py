@@ -97,6 +97,34 @@ def load_predict(blob: bytes):
     return jax_export.deserialize(blob).call
 
 
+def make_mesh_predict(predict, mesh, *, axis: str = "data"):
+    """Data-parallel serving: scale a reloaded artifact (float or int8)
+    across a ``jax.sharding.Mesh``.
+
+    The artifact's StableHLO is inlined into an outer jitted program with
+    the frame batch sharded over ``axis`` and the weights replicated; GSPMD
+    partitions the convs over the batch dimension (embarrassingly parallel —
+    no collectives in the forward), so N chips serve N× the single-chip
+    throughput from ONE program and one global batch. Batch sharding never
+    splits a reduction, so decoded coordinates are bit-identical to
+    single-device execution (confidence values may differ in the last ULP
+    from partitioned fusion).
+
+    ``predict`` is :func:`load_predict` / :func:`load_predict_file` output
+    (a live jitted predict works too). The global batch must be divisible
+    by the mesh size; batch-polymorphic artifacts serve any such batch.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        lambda weights, images: predict(weights, images),
+        in_shardings=(replicated, sharded),
+        out_shardings=(sharded, sharded),
+    )
+
+
 def save_predict(path: str, model, variables, **kw) -> None:
     with open(path, "wb") as f:
         f.write(export_predict(model, variables, **kw))
@@ -168,6 +196,18 @@ def load_quantized_npz(path: str):
         return node
 
     return listify(out)
+
+
+def load_artifact_weights(path: str):
+    """Load the ``.weights.npz`` sibling of an exported artifact, float or
+    int8 alike: quantized trees are recognized by their per-conv int8
+    weight leaves (``.../wq``) and rebuilt with :func:`load_quantized_npz`;
+    anything else is a plain variables tree."""
+    import numpy as onp
+
+    with onp.load(path) as data:
+        quantized = any(k == "wq" or k.endswith("/wq") for k in data.files)
+    return load_quantized_npz(path) if quantized else load_variables_npz(path)
 
 
 def load_variables_npz(path: str):

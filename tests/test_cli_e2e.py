@@ -182,3 +182,86 @@ def test_test_cli_with_reference_pth(tmp_path):
     from dahpe_tpu.cli import test as test_cli
 
     test_cli.main(args)
+
+
+def test_test_cli_artifact_eval(tmp_path):
+    """Deployment acceptance through the eval CLI: evaluate an EXPORTED
+    artifact (`--artifact`, float and int8) against the same fixture the
+    checkpoint evaluates on. The float artifact must reproduce the
+    checkpoint PCK (same decode, same coordinates); the int8 artifact must
+    produce a valid score (its gap to float IS the quantization cost)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from dahpe_tpu.cli import test as test_cli
+    from dahpe_tpu.cli.export import build_export_parser, main as export_main
+    from dahpe_tpu.utils import checkpoint as ckpt
+    from dahpe_tpu import models
+
+    rhd_root = make_rhd_fixture(str(tmp_path / "rhd"), n=4,
+                                sets=("training", "evaluation"))
+    h3d_root = make_h3d_fixture(str(tmp_path / "h3d"), n=8)
+
+    model = models.MultiHeadPoseResNet(
+        backbone=models.get_backbone("resnet18"), num_keypoints=21
+    )
+    variables = jax.jit(
+        lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False,
+            gl_coeff=0.0,
+        )
+    )()
+    ckpt_dir = str(tmp_path / "ckpt")
+    ckpt.save_state(ckpt_dir, variables)
+
+    artifact_f = str(tmp_path / "model.stablehlo")
+    export_main(build_export_parser().parse_args([
+        ckpt_dir, "-o", artifact_f, "-a", "resnet18", "--image-size", "64",
+        "--heatmap-size", "16", "--batch-size", "2",
+    ]))
+    artifact_q = str(tmp_path / "model_int8.stablehlo")
+    export_main(build_export_parser().parse_args([
+        ckpt_dir, "-o", artifact_q, "-a", "resnet18", "--image-size", "64",
+        "--heatmap-size", "16", "--batch-size", "2", "--int8",
+    ]))
+
+    def run(log_name, extra):
+        log_dir = str(tmp_path / log_name)
+        test_cli.main(_args(
+            [
+                h3d_root, "--source_root", rhd_root, "-t", "Hand3DStudio",
+                "-a", "resnet18", "-b", "2", "--workers", "2",
+                "--log", log_dir, "--image-size", "64",
+                "--heatmap-size", "16",
+            ] + extra,
+            phase="test",
+        ))
+        text = "".join(
+            open(os.path.join(log_dir, f)).read()
+            for f in os.listdir(log_dir) if f.endswith(".txt")
+        )
+        m = re.search(r"Source: (-?\d+\.\d+) Target: (-?\d+\.\d+)", text)
+        assert m, text[-500:]
+        return float(m.group(1)), float(m.group(2))
+
+    src_c, tgt_c = run("logs_ckpt", ["--checkpoint", ckpt_dir])
+    src_f, tgt_f = run("logs_art_f", ["--artifact", artifact_f])
+    src_q, tgt_q = run("logs_art_q", ["--artifact", artifact_q])
+
+    # untrained weights + 16² heatmaps: some batches report -1 groups the
+    # meter averages in (reference-parity), so values may dip slightly
+    # below 0 — the gates here are float/checkpoint AGREEMENT and that the
+    # int8 run produces scores in the plausible band (its accuracy gate on
+    # a trained model lives in test_quant.py).
+    assert -1.0 <= src_c <= 1.0 and -1.0 <= tgt_c <= 1.0
+    # float artifact: same model, same decode — PCK within argmax-tie noise
+    assert abs(src_f - src_c) <= 0.02 and abs(tgt_f - tgt_c) <= 0.02, (
+        (src_c, tgt_c), (src_f, tgt_f)
+    )
+    assert -1.0 <= src_q <= 1.0 and -1.0 <= tgt_q <= 1.0
+
+    # exactly one of --checkpoint / --artifact
+    with pytest.raises(SystemExit):
+        run("logs_bad", [])

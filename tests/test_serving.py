@@ -113,6 +113,31 @@ def test_batch_polymorphic_export():
         )
 
 
+def test_int8_batch_polymorphic_export():
+    """Int8 artifact exported batch-polymorphic: one serialized program
+    serves any batch size, matching the live int8 forward exactly."""
+    from dahpe_tpu import quant
+    from dahpe_tpu.serving import export_predict_int8
+
+    model, variables = _model_and_vars()
+    rng = np.random.default_rng(11)
+    calib = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    qtree = quant.quantize_model(model, variables, calib)
+    blob = export_predict_int8(
+        qtree, batch_size=None, image_size=64, heatmap_size=16
+    )
+    restored = load_predict(blob)
+    live = quant.make_int8_predict_fn(image_size=64, heatmap_size=16)
+    for b in (1, 5):
+        x = jnp.asarray(rng.standard_normal((b, 64, 64, 3)), jnp.float32)
+        coords_r, _ = restored(qtree, x)
+        coords_l, _ = live(qtree, x)
+        assert coords_r.shape == (b, 21, 2)
+        np.testing.assert_array_equal(
+            np.asarray(coords_l), np.asarray(coords_r)
+        )
+
+
 def test_int8_export_roundtrip(tmp_path):
     """Quantized artifact (``export_predict_int8`` + ``save_quantized_npz``):
     a bare-host reload — StableHLO bytes + int8 npz, no model code — is
@@ -213,4 +238,46 @@ def test_uint8_ingestion_export_matches_normalized():
     np.testing.assert_array_equal(np.asarray(coords_u), np.asarray(coords_f))
     np.testing.assert_allclose(
         np.asarray(maxv_u), np.asarray(maxv_f), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_mesh_predict_data_parallel():
+    """Data-parallel serving over the 8-device mesh: the artifact inlined
+    into a GSPMD-partitioned program, batch sharded, weights replicated —
+    bit-identical to single-device execution (float AND int8 artifacts)."""
+    from dahpe_tpu import quant
+    from dahpe_tpu.parallel.mesh import create_mesh
+    from dahpe_tpu.serving import export_predict_int8, make_mesh_predict
+
+    model, variables = _model_and_vars()
+    mesh = create_mesh()
+    n = len(jax.devices())
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2 * n, 64, 64, 3)), jnp.float32)
+
+    blob = export_predict(
+        model, variables, batch_size=2 * n, image_size=64, heatmap_size=16
+    )
+    restored = load_predict(blob)
+    coords_1, maxv_1 = restored(variables, x)
+    mesh_predict = make_mesh_predict(restored, mesh)
+    coords_m, maxv_m = mesh_predict(variables, x)
+    assert len(coords_m.sharding.device_set) == n
+    np.testing.assert_array_equal(np.asarray(coords_1), np.asarray(coords_m))
+    # partitioned fusion may differ in the last ULP of the heatmap values
+    np.testing.assert_allclose(
+        np.asarray(maxv_1), np.asarray(maxv_m), rtol=1e-5
+    )
+
+    calib = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    qtree = quant.quantize_model(model, variables, calib)
+    qblob = export_predict_int8(
+        qtree, batch_size=2 * n, image_size=64, heatmap_size=16
+    )
+    qrestored = load_predict(qblob)
+    qcoords_1, _ = qrestored(qtree, x)
+    qmesh_predict = make_mesh_predict(qrestored, mesh)
+    qcoords_m, _ = qmesh_predict(qtree, x)
+    np.testing.assert_array_equal(
+        np.asarray(qcoords_1), np.asarray(qcoords_m)
     )
