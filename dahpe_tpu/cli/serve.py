@@ -1,0 +1,199 @@
+"""HTTP serving CLI — a production endpoint around an exported artifact.
+
+``python -m dahpe_tpu.cli.serve model.stablehlo --port 8000`` loads an
+exported artifact (``cli.export``; float or ``--int8``) with its sibling
+``.weights.npz`` and serves keypoint predictions over HTTP. The reference
+has no serving runtime at all (deployment = re-run ``test.py``); this is
+the last mile of the TPU-native deployment story (docs/SERVING.md):
+export → acceptance eval (``cli.test --artifact``) → serve.
+
+Protocol (stdlib-only on both ends):
+
+- ``GET /healthz`` → JSON: artifact geometry (batch/image size/dtype) and
+  device inventory.
+- ``POST /predict`` with an ``.npy`` body (``numpy.save`` of a
+  ``(B, H, W, 3)`` frame array matching the artifact's input dtype —
+  uint8 for ``--uint8-input`` artifacts, float32 otherwise) →
+  JSON ``{"coords": (B, K, 2) image px, "maxvals": (B, K)}``.
+
+Fixed-batch artifacts accept any request ``B ≤ batch``: the server pads to
+the compiled batch and truncates the response (one compile, stable
+latency — the same fixed-shape discipline as the eval loop). Requests
+above the compiled batch are rejected with 413; export batch-polymorphic
+for unbounded request sizes. ``--mesh`` shards each batch over every
+local device (``serving.make_mesh_predict``) for N× throughput on a pod
+host.
+
+The jax call itself is serialized under a lock: one TPU program runs at a
+time (concurrency belongs in the batch dimension, not in racing
+dispatches); the ThreadingHTTPServer still overlaps request parsing and
+response IO with device execution.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+import jax
+
+
+def build_serve_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="serve an exported artifact over HTTP"
+    )
+    p.add_argument("artifact", help="StableHLO file from cli.export "
+                                    "(sibling .weights.npz required)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000,
+                   help="0 picks an ephemeral port (printed on startup)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard request batches over ALL local devices "
+                        "(weights replicated, batch split — N devices = "
+                        "N x throughput); request batches must divide by "
+                        "the device count")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the startup compile (first request pays it)")
+    return p
+
+
+class _Servable:
+    """The loaded artifact + its request contract, shared by all handler
+    threads."""
+
+    def __init__(self, artifact_path: str, *, mesh: bool = False,
+                 warmup: bool = True):
+        from jax import export as jax_export
+
+        from dahpe_tpu.serving import load_artifact_weights
+
+        with open(artifact_path, "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        self.weights = load_artifact_weights(artifact_path + ".weights.npz")
+        self.predict = exported.call
+        if mesh:
+            from dahpe_tpu.parallel.mesh import create_mesh
+            from dahpe_tpu.serving import make_mesh_predict
+
+            self.predict = make_mesh_predict(exported.call, create_mesh())
+
+        aval = exported.in_avals[-1]  # the frame input (weights lead)
+        b = aval.shape[0]
+        self.batch = b if isinstance(b, int) else None  # None: polymorphic
+        self.frame_shape = tuple(aval.shape[1:])  # (H, W, 3)
+        self.dtype = np.dtype(aval.dtype)
+        self._lock = threading.Lock()
+        if warmup and self.batch is not None:
+            x = np.zeros((self.batch,) + self.frame_shape, self.dtype)
+            jax.block_until_ready(self.predict(self.weights, x))
+
+    def info(self) -> dict:
+        return {
+            "status": "ok",
+            "batch": self.batch,  # null = batch-polymorphic
+            "frame_shape": list(self.frame_shape),
+            "dtype": str(self.dtype),
+            "devices": [str(d) for d in jax.devices()],
+        }
+
+    def run(self, frames: np.ndarray) -> dict:
+        if frames.ndim != 4 or frames.shape[1:] != self.frame_shape:
+            raise ValueError(
+                f"expected (B, {', '.join(map(str, self.frame_shape))}) "
+                f"frames, got {frames.shape}"
+            )
+        if frames.dtype != self.dtype:
+            raise ValueError(
+                f"expected dtype {self.dtype}, got {frames.dtype}"
+            )
+        n = frames.shape[0]
+        if self.batch is not None:
+            if n > self.batch:
+                raise OverflowError(
+                    f"request batch {n} > compiled batch {self.batch} "
+                    "(export batch-polymorphic for unbounded requests)"
+                )
+            if n < self.batch:
+                frames = np.concatenate(
+                    [frames, np.zeros((self.batch - n,) + self.frame_shape,
+                                      self.dtype)]
+                )
+        with self._lock:
+            coords, maxvals = self.predict(self.weights, frames)
+        return {
+            "coords": np.asarray(coords)[:n].tolist(),
+            "maxvals": np.asarray(maxvals)[:n, :, 0].tolist(),
+        }
+
+
+def _make_handler(servable: _Servable):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, servable.info())
+            else:
+                self._reply(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._reply(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                frames = np.load(io.BytesIO(self.rfile.read(n)),
+                                 allow_pickle=False)
+                self._reply(200, servable.run(frames))
+            except OverflowError as e:
+                self._reply(413, {"error": str(e)})
+            except Exception as e:  # malformed body/shape/dtype
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # route access logs to stdout
+            print(f"{self.address_string()} {fmt % args}")
+
+    return Handler
+
+
+def create_server(args) -> ThreadingHTTPServer:
+    servable = _Servable(args.artifact, mesh=args.mesh,
+                         warmup=not args.no_warmup)
+    server = ThreadingHTTPServer(
+        (args.host, args.port), _make_handler(servable)
+    )
+    server.servable = servable
+    return server
+
+
+def main(args):
+    server = create_server(args)
+    host, port = server.server_address[:2]
+    info = server.servable.info()
+    b = info["batch"] if info["batch"] is not None else "polymorphic"
+    print(
+        f"serving {args.artifact} (batch {b}, {info['dtype']} "
+        f"{tuple(info['frame_shape'])}) on http://{host}:{port} "
+        f"[{len(info['devices'])} device(s)]"
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main(build_serve_parser().parse_args())
