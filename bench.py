@@ -636,7 +636,9 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timed(1)  # compile
-    n_lo, n_hi = 2, 22
+    # 50 differenced iters (~1 s on device): long enough that the ±10 ms
+    # run-to-run jitter of each timing lands under 1% of the difference
+    n_lo, n_hi = 2, 52
     t_lo = min(timed(n_lo) for _ in range(3))
     t_hi = min(timed(n_hi) for _ in range(3))
     dt = t_hi - t_lo
