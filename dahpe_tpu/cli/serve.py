@@ -28,6 +28,16 @@ The jax call itself is serialized under a lock: one TPU program runs at a
 time (concurrency belongs in the batch dimension, not in racing
 dispatches); the ThreadingHTTPServer still overlaps request parsing and
 response IO with device execution.
+
+``--batch-window MS`` turns on dynamic batching: concurrent requests are
+coalesced into ONE device batch — a batcher thread collects requests
+until the compiled batch is full or MS milliseconds have passed since the
+first queued request, runs one predict, and scatters the rows back to the
+waiting handlers. Under concurrent load this converts the padding waste
+of fixed-batch serving into useful work (N clients share one dispatch);
+an idle server adds at most the window to a lone request's latency.
+``/healthz`` reports ``requests``/``batches`` so the coalescing ratio is
+observable in production.
 """
 
 from __future__ import annotations
@@ -36,6 +46,7 @@ import argparse
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -59,6 +70,15 @@ def build_serve_parser() -> argparse.ArgumentParser:
                         "the device count")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup compile (first request pays it)")
+    p.add_argument("--batch-window", type=float, default=0.0, metavar="MS",
+                   help="dynamic batching: coalesce concurrent requests "
+                        "into one device batch, dispatching when the "
+                        "compiled batch fills or MS milliseconds after the "
+                        "first queued request (0 = off)")
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="coalescing cap for batch-POLYMORPHIC artifacts "
+                        "under --batch-window (fixed-batch artifacts cap "
+                        "at their compiled batch)")
     return p
 
 
@@ -88,6 +108,9 @@ class _Servable:
         self.frame_shape = tuple(aval.shape[1:])  # (H, W, 3)
         self.dtype = np.dtype(aval.dtype)
         self._lock = threading.Lock()
+        self._count_lock = threading.Lock()
+        self.requests = 0   # /predict calls answered 200
+        self.batches = 0    # device dispatches — ≤ requests under batching
         if warmup and self.batch is not None:
             x = np.zeros((self.batch,) + self.frame_shape, self.dtype)
             jax.block_until_ready(self.predict(self.weights, x))
@@ -99,9 +122,13 @@ class _Servable:
             "frame_shape": list(self.frame_shape),
             "dtype": str(self.dtype),
             "devices": [str(d) for d in jax.devices()],
+            "requests": self.requests,
+            "batches": self.batches,
         }
 
-    def run(self, frames: np.ndarray) -> dict:
+    def validate(self, frames: np.ndarray) -> None:
+        """Request-contract errors raised OUTSIDE the device path, so the
+        batcher never sees a malformed row."""
         if frames.ndim != 4 or frames.shape[1:] != self.frame_shape:
             raise ValueError(
                 f"expected (B, {', '.join(map(str, self.frame_shape))}) "
@@ -111,27 +138,113 @@ class _Servable:
             raise ValueError(
                 f"expected dtype {self.dtype}, got {frames.dtype}"
             )
+        if self.batch is not None and frames.shape[0] > self.batch:
+            raise OverflowError(
+                f"request batch {frames.shape[0]} > compiled batch "
+                f"{self.batch} (export batch-polymorphic for unbounded "
+                "requests)"
+            )
+
+    def run_arrays(self, frames: np.ndarray):
+        """One device dispatch: pad to the compiled batch, predict, return
+        the live rows as numpy ``(coords (n,K,2), maxvals (n,K))``."""
         n = frames.shape[0]
-        if self.batch is not None:
-            if n > self.batch:
-                raise OverflowError(
-                    f"request batch {n} > compiled batch {self.batch} "
-                    "(export batch-polymorphic for unbounded requests)"
-                )
-            if n < self.batch:
-                frames = np.concatenate(
-                    [frames, np.zeros((self.batch - n,) + self.frame_shape,
-                                      self.dtype)]
-                )
+        if self.batch is not None and n < self.batch:
+            frames = np.concatenate(
+                [frames, np.zeros((self.batch - n,) + self.frame_shape,
+                                  self.dtype)]
+            )
         with self._lock:
             coords, maxvals = self.predict(self.weights, frames)
+            self.batches += 1
+        return np.asarray(coords)[:n], np.asarray(maxvals)[:n, :, 0]
+
+    def count_request(self) -> None:
+        with self._count_lock:
+            self.requests += 1
+
+    def run(self, frames: np.ndarray) -> dict:
+        self.validate(frames)
+        coords, maxvals = self.run_arrays(frames)
+        self.count_request()
+        return {"coords": coords.tolist(), "maxvals": maxvals.tolist()}
+
+
+class _Batcher:
+    """Dynamic batching: handler threads `submit` their frames and block;
+    one collector thread dispatches a coalesced batch when `cap` rows are
+    queued or `window` seconds have passed since the first queued request,
+    then scatters the result rows back. Requests never split across
+    dispatches (each already fits the cap — `validate` enforced ≤ compiled
+    batch, and polymorphic caps come from --max-batch)."""
+
+    def __init__(self, servable: _Servable, window_s: float,
+                 max_batch: int = 64):
+        self.servable = servable
+        self.window = window_s
+        self.cap = servable.batch if servable.batch is not None else max_batch
+        self._queue: list[dict] = []
+        self._cv = threading.Condition()
+        threading.Thread(target=self._collect, daemon=True).start()
+
+    def submit(self, frames: np.ndarray) -> dict:
+        item = {"frames": frames, "done": threading.Event(),
+                "t": time.monotonic()}
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify_all()
+        item["done"].wait()
+        if "error" in item:
+            raise item["error"]
+        self.servable.count_request()
         return {
-            "coords": np.asarray(coords)[:n].tolist(),
-            "maxvals": np.asarray(maxvals)[:n, :, 0].tolist(),
+            "coords": item["coords"].tolist(),
+            "maxvals": item["maxvals"].tolist(),
         }
 
+    def _queued_rows(self) -> int:
+        return sum(i["frames"].shape[0] for i in self._queue)
 
-def _make_handler(servable: _Servable):
+    def _collect(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                # the window runs from the HEAD request's enqueue time, so a
+                # request never waits more than ~window even when it arrived
+                # mid-dispatch
+                deadline = self._queue[0]["t"] + self.window
+                while self._queued_rows() < self.cap:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                take, rows = [], 0
+                while self._queue and (
+                    rows + self._queue[0]["frames"].shape[0] <= self.cap
+                ):
+                    item = self._queue.pop(0)
+                    take.append(item)
+                    rows += item["frames"].shape[0]
+            try:
+                coords, maxvals = self.servable.run_arrays(
+                    np.concatenate([i["frames"] for i in take])
+                )
+                off = 0
+                for item in take:
+                    n = item["frames"].shape[0]
+                    item["coords"] = coords[off:off + n]
+                    item["maxvals"] = maxvals[off:off + n]
+                    off += n
+            except Exception as e:  # pragma: no cover - device failure
+                for item in take:
+                    item["error"] = e
+            finally:
+                for item in take:
+                    item["done"].set()
+
+
+def _make_handler(servable: _Servable, batcher: _Batcher | None = None):
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -155,7 +268,12 @@ def _make_handler(servable: _Servable):
                 n = int(self.headers.get("Content-Length", 0))
                 frames = np.load(io.BytesIO(self.rfile.read(n)),
                                  allow_pickle=False)
-                self._reply(200, servable.run(frames))
+                if batcher is not None:
+                    servable.validate(frames)
+                    out = batcher.submit(frames)
+                else:
+                    out = servable.run(frames)
+                self._reply(200, out)
             except OverflowError as e:
                 self._reply(413, {"error": str(e)})
             except Exception as e:  # malformed body/shape/dtype
@@ -170,8 +288,12 @@ def _make_handler(servable: _Servable):
 def create_server(args) -> ThreadingHTTPServer:
     servable = _Servable(args.artifact, mesh=args.mesh,
                          warmup=not args.no_warmup)
+    batcher = (
+        _Batcher(servable, args.batch_window / 1e3, args.max_batch)
+        if args.batch_window > 0 else None
+    )
     server = ThreadingHTTPServer(
-        (args.host, args.port), _make_handler(servable)
+        (args.host, args.port), _make_handler(servable, batcher)
     )
     server.servable = servable
     return server
@@ -182,10 +304,14 @@ def main(args):
     host, port = server.server_address[:2]
     info = server.servable.info()
     b = info["batch"] if info["batch"] is not None else "polymorphic"
+    batching = (
+        f", dynamic batching {args.batch_window:g} ms"
+        if args.batch_window > 0 else ""
+    )
     print(
         f"serving {args.artifact} (batch {b}, {info['dtype']} "
         f"{tuple(info['frame_shape'])}) on http://{host}:{port} "
-        f"[{len(info['devices'])} device(s)]"
+        f"[{len(info['devices'])} device(s){batching}]"
     )
     try:
         server.serve_forever()

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from dahpe_tpu import models
 
 
-def _export_artifact(tmp_path, batch):
+def _export_artifact(tmp_path, batch, *extra_flags):
     from dahpe_tpu.cli.export import build_export_parser, main as export_main
     from dahpe_tpu.utils import checkpoint as ckpt
 
@@ -31,9 +31,10 @@ def _export_artifact(tmp_path, batch):
     ckpt_dir = str(tmp_path / "ckpt")
     ckpt.save_state(ckpt_dir, variables)
     out = str(tmp_path / "model.stablehlo")
+    batch_flags = [] if batch is None else ["--batch-size", str(batch)]
     export_main(build_export_parser().parse_args([
         ckpt_dir, "-o", out, "-a", "resnet18", "--image-size", "64",
-        "--heatmap-size", "16", "--batch-size", str(batch),
+        "--heatmap-size", "16", *batch_flags, *extra_flags,
     ]))
     return out
 
@@ -101,6 +102,132 @@ def test_serve_cli_http(tmp_path):
         assert status == 400
         conn.request("GET", "/healthz")
         assert conn.getresponse().status == 200
+
+        # the typed client speaks the same protocol (dahpe_tpu.client)
+        from dahpe_tpu.client import PoseClient, ServeError
+
+        with PoseClient("127.0.0.1", port) as client:
+            assert client.health()["batch"] == 8
+            c2, m2 = client.predict(frames)
+            np.testing.assert_array_equal(c2, coords.astype(np.float32))
+            assert m2.shape == (3, 21)
+            try:
+                client.predict(np.zeros((9, 64, 64, 3), np.float32))
+                raise AssertionError("oversize must raise")
+            except ServeError as e:
+                assert e.status == 413
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_serve_cli_uint8_polymorphic(tmp_path):
+    """A batch-polymorphic uint8-ingest artifact: the server skips warmup
+    (no fixed batch), accepts ANY request batch without padding, enforces
+    the uint8 dtype contract, and matches a direct artifact call."""
+    from dahpe_tpu.cli.serve import build_serve_parser, create_server
+    from dahpe_tpu.serving import load_artifact_weights, load_predict_file
+
+    artifact = _export_artifact(tmp_path, None, "--uint8-input")
+    server = create_server(build_serve_parser().parse_args(
+        [artifact, "--port", "0"]
+    ))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        health = json.loads(resp.read())
+        assert health["batch"] is None  # polymorphic
+        assert health["dtype"] == "uint8"
+
+        rng = np.random.default_rng(2)
+        for n in (2, 5):  # two sizes — no fixed compiled batch, no 413
+            frames = rng.integers(0, 256, (n, 64, 64, 3), dtype=np.uint8)
+            status, out = _post_npy(conn, "/predict", frames)
+            assert status == 200
+            assert np.asarray(out["coords"]).shape == (n, 21, 2)
+            if n == 5:
+                predict = load_predict_file(artifact)
+                weights = load_artifact_weights(
+                    artifact + ".weights.npz"
+                )
+                coords_direct, _ = predict(weights, frames)
+                np.testing.assert_array_equal(
+                    np.asarray(out["coords"]), np.asarray(coords_direct)
+                )
+
+        # float frames against a uint8 artifact → 400 dtype rejection
+        status, out = _post_npy(
+            conn, "/predict", np.zeros((2, 64, 64, 3), np.float32)
+        )
+        assert status == 400 and "uint8" in out["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_serve_cli_dynamic_batching(tmp_path):
+    """--batch-window: 4 concurrent batch-2 requests against a batch-8
+    artifact coalesce into ONE device dispatch (the batcher fills the
+    compiled batch), every client gets its own rows back, and /healthz
+    exposes the coalescing ratio."""
+    from dahpe_tpu.cli.serve import build_serve_parser, create_server
+    from dahpe_tpu.serving import load_artifact_weights, load_predict_file
+
+    artifact = _export_artifact(tmp_path, batch=8)
+    # 30 s window: dispatch triggers on FILL (4 x 2 rows = compiled batch);
+    # the window only bounds the wait if a client dies mid-test
+    server = create_server(build_serve_parser().parse_args(
+        [artifact, "--port", "0", "--batch-window", "30000"]
+    ))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        rng = np.random.default_rng(3)
+        payloads = [
+            rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+            for _ in range(4)
+        ]
+        results = [None] * 4
+
+        def client(i):
+            conn = HTTPConnection("127.0.0.1", port, timeout=120)
+            results[i] = _post_npy(conn, "/predict", payloads[i])
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+
+        predict = load_predict_file(artifact)
+        weights = load_artifact_weights(artifact + ".weights.npz")
+        for i in range(4):
+            status, out = results[i]
+            assert status == 200
+            # row results are batch-composition-independent: a request's
+            # coords match a solo padded call regardless of which other
+            # requests shared its dispatch
+            solo = np.concatenate(
+                [payloads[i], np.zeros((6, 64, 64, 3), np.float32)]
+            )
+            coords_direct, _ = predict(weights, solo)
+            np.testing.assert_array_equal(
+                np.asarray(out["coords"]), np.asarray(coords_direct)[:2]
+            )
+
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["requests"] == 4
+        assert health["batches"] == 1  # all four coalesced into one dispatch
     finally:
         server.shutdown()
         server.server_close()
