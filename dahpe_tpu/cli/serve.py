@@ -219,9 +219,14 @@ class _Batcher:
                     if remaining <= 0:
                         break
                     self._cv.wait(remaining)
+                # always take at least the head: a batch-polymorphic
+                # artifact runs ANY batch, so a request larger than the
+                # coalescing cap dispatches solo instead of starving
+                # (fixed-batch oversize was already 413'd by `validate`)
                 take, rows = [], 0
                 while self._queue and (
-                    rows + self._queue[0]["frames"].shape[0] <= self.cap
+                    not take
+                    or rows + self._queue[0]["frames"].shape[0] <= self.cap
                 ):
                     item = self._queue.pop(0)
                     take.append(item)

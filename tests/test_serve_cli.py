@@ -233,6 +233,42 @@ def test_serve_cli_dynamic_batching(tmp_path):
         server.server_close()
 
 
+def test_serve_cli_batching_oversize_polymorphic(tmp_path):
+    """A batch-polymorphic artifact under --batch-window: a request LARGER
+    than the coalescing cap (--max-batch) must dispatch solo — the cap is
+    a coalescing target, not a request limit (regression: the collector
+    used to starve it, hanging the client)."""
+    from dahpe_tpu.cli.serve import build_serve_parser, create_server
+    from dahpe_tpu.serving import load_artifact_weights, load_predict_file
+
+    artifact = _export_artifact(tmp_path, None)  # polymorphic, float32
+    server = create_server(build_serve_parser().parse_args(
+        [artifact, "--port", "0", "--batch-window", "50", "--max-batch", "4"]
+    ))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+        rng = np.random.default_rng(4)
+        frames = rng.standard_normal((6, 64, 64, 3)).astype(np.float32)
+        status, out = _post_npy(conn, "/predict", frames)  # 6 > cap 4
+        assert status == 200
+        predict = load_predict_file(artifact)
+        weights = load_artifact_weights(artifact + ".weights.npz")
+        coords_direct, _ = predict(weights, frames)
+        np.testing.assert_array_equal(
+            np.asarray(out["coords"]), np.asarray(coords_direct)
+        )
+        # a small follow-up request still coalesces/serves normally
+        status, out = _post_npy(conn, "/predict", frames[:2])
+        assert status == 200
+        assert np.asarray(out["coords"]).shape == (2, 21, 2)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_serve_cli_mesh(tmp_path):
     """--mesh: the server shards each compiled batch over all 8 virtual
     devices; responses match the single-device artifact."""
