@@ -305,7 +305,16 @@ def create_server(args) -> ThreadingHTTPServer:
 
 
 def main(args):
+    import signal
+
     server = create_server(args)
+    # container orchestrators stop with SIGTERM: finish in-flight requests,
+    # stop accepting, exit 0 (same path as Ctrl-C). shutdown() must run off
+    # the serve_forever thread, hence the helper thread.
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(target=server.shutdown).start(),
+    )
     host, port = server.server_address[:2]
     info = server.servable.info()
     b = info["batch"] if info["batch"] is not None else "polymorphic"

@@ -233,6 +233,41 @@ def test_serve_cli_dynamic_batching(tmp_path):
         server.server_close()
 
 
+def test_serve_cli_int8_artifact(tmp_path):
+    """The int8 deployment artifact serves over HTTP unchanged: the weight
+    loader recognizes the quantized npz, the endpoint's contract comes from
+    the artifact's avals, and responses match a direct artifact call."""
+    from dahpe_tpu.cli.serve import build_serve_parser, create_server
+    from dahpe_tpu.serving import load_artifact_weights, load_predict_file
+
+    artifact = _export_artifact(tmp_path, 4, "--int8")
+    server = create_server(build_serve_parser().parse_args(
+        [artifact, "--port", "0"]
+    ))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["batch"] == 4
+
+        rng = np.random.default_rng(5)
+        frames = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+        status, out = _post_npy(conn, "/predict", frames)
+        assert status == 200
+        predict = load_predict_file(artifact)
+        weights = load_artifact_weights(artifact + ".weights.npz")
+        coords_direct, _ = predict(weights, frames)
+        np.testing.assert_array_equal(
+            np.asarray(out["coords"]), np.asarray(coords_direct)
+        )
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_serve_cli_batching_oversize_polymorphic(tmp_path):
     """A batch-polymorphic artifact under --batch-window: a request LARGER
     than the coalescing cap (--max-batch) must dispatch solo — the cap is
