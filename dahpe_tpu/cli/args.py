@@ -52,6 +52,25 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                         help="capture a jax.profiler device trace of N "
                              "steady-state DA iterations (written under "
                              "{log}/trace, TensorBoard-viewable)")
+    parser.add_argument("--keep-checkpoints", default=0, type=int,
+                        metavar="N",
+                        help="retain only the newest N per-epoch checkpoint "
+                             "dirs (best/model_ema/pretrain are never "
+                             "pruned); 0 keeps all — long production runs "
+                             "save a full optimizer+EMA state every epoch")
+    parser.add_argument("--save-every", default=0, type=int, metavar="N",
+                        help="write a mid-epoch 'latest' checkpoint (full "
+                             "state + stream-key sidecar) every N DA "
+                             "iterations; 0 = per-epoch only. Preemptible "
+                             "TPU runs bound their lost work to N "
+                             "iterations; --resume from 'latest' continues "
+                             "mid-epoch, bit-identically on the "
+                             "device-store path")
+    parser.add_argument("--max-steps", default=0, type=int, metavar="N",
+                        help="stop after N total DA optimizer steps (across "
+                             "resumes), saving the 'latest' checkpoint and "
+                             "exiting cleanly; 0 = no limit. Budget-bound "
+                             "runs and preemption drills")
     parser.add_argument("--ema-decay", default=0.999, type=float)
     parser.add_argument("--with-ema", action="store_true",
                         help="maintain + update the EMA twin each iteration "

@@ -222,16 +222,22 @@ def main(args):
     )
 
     start_epoch = 0
+    start_iter = 0
     resume_aux = {}  # sampling-key buffers + best-acc watermark (save_aux)
     if args.resume:
         state = ckpt.restore_state(args.resume, state)
         resume_aux = ckpt.load_aux(args.resume)
         start_epoch = int(state.step) // args.iters_per_epoch
+        # a mid-epoch 'latest' checkpoint (--save-every / SIGTERM) resumes at
+        # the exact iteration it stopped on; epoch checkpoints land on the
+        # boundary, where this is 0 (unchanged behavior)
+        start_iter = int(state.step) % args.iters_per_epoch
         # "(with stream keys)" must track the keys specifically — soak.py
         # asserts on it as evidence the sampling streams truly continued; a
         # best_acc-only sidecar (host-loader run) must not claim it
         print(
             f"resumed from {args.resume} at epoch {start_epoch}"
+            + (f" iteration {start_iter}" if start_iter else "")
             + (" (with stream keys)" if "key_s" in resume_aux else "")
         )
     else:
@@ -421,6 +427,48 @@ def main(args):
     # watermark survives resume: a post-resume epoch must not overwrite
     # checkpoints/best unless it actually beats the pre-crash best
     best_acc = float(resume_aux.get("best_acc", float("-inf")))
+
+    # Preemption contract (SURVEY §5: the reference has none — recovery is
+    # manual per-epoch --resume): SIGTERM/SIGINT request a graceful stop; the
+    # loop finishes the in-flight iteration, writes the 'latest' checkpoint
+    # (full state + stream-key sidecar + watermark) and returns cleanly —
+    # the preemptible-TPU story, mirroring cli/serve's drain-on-SIGTERM.
+    # --save-every N bounds lost work to N iterations even on a hard kill.
+    import signal
+
+    stop_requested = False
+
+    def _request_stop(signum, frame):
+        nonlocal stop_requested
+        if stop_requested:
+            # second signal: stop being graceful (e.g. a double ctrl-C
+            # while a long validation sweep delays the iteration boundary)
+            restore_handlers()
+            signal.raise_signal(signum)
+            return
+        stop_requested = True
+        print(f"signal {signum}: finishing the in-flight iteration, "
+              "saving checkpoints/latest, then exiting cleanly")
+
+    prev_handlers = {
+        s: signal.signal(s, _request_stop)
+        for s in (signal.SIGTERM, signal.SIGINT)
+    }
+
+    def restore_handlers():
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
+
+    def save_latest():
+        # closes over the loop's current `state` binding; resuming this
+        # checkpoint lands mid-epoch (start_iter above) and, on the
+        # device-store paths, continues the batch sequence bit-identically
+        # (tests/test_preempt.py)
+        path = logger.get_checkpoint_path("latest")
+        ckpt.save_state(path, state)
+        ckpt.save_aux(path, best_acc=best_acc, **current_stream_aux())
+        return path
+
     print("Start regression domain adaptation.")
     if args.profile:
         # steady-state device trace: compile+warm first so the capture holds
@@ -438,6 +486,16 @@ def main(args):
                 state, metrics, _, _ = run_iteration(state)
             jax.block_until_ready(metrics["loss_s"])
         print(f"profiler trace ({args.profile} iters) -> {tracedir}")
+    # host-side mirror of state.step (re-synced here so --profile's warmup
+    # iterations count): fetching the device scalar every iteration would
+    # pay this environment's ~26 ms transfer latency per step
+    global_step = int(jax.device_get(state.step))
+    if args.max_steps and global_step >= args.max_steps:
+        print(f"--max-steps {args.max_steps} already reached "
+              f"(step {global_step}); nothing to do")
+        restore_handlers()
+        logger.close()
+        return
     for epoch in range(start_epoch, args.epochs):
         logger.set_epoch(epoch)
         batch_time = AverageMeter("Time", ":4.2f")
@@ -452,8 +510,10 @@ def main(args):
             prefix=f"Epoch: [{epoch}]",
         )
         end = time.time()
-        for i in range(args.iters_per_epoch):
+        first_iter = start_iter if epoch == start_epoch else 0
+        for i in range(first_iter, args.iters_per_epoch):
             state, metrics, b_s, b_t = run_iteration(state)
+            global_step += 1
             if i % args.print_freq == 0:
                 losses_s.update(float(metrics["loss_s"]))
                 losses_gf.update(float(metrics["loss_gf"]))
@@ -471,6 +531,19 @@ def main(args):
                     visualize(np.asarray(b_t["image"][0]), pred_t,
                               f"target_{i}_pred")
             end = time.time()
+            budget_done = args.max_steps and global_step >= args.max_steps
+            if stop_requested or budget_done:
+                path = save_latest()
+                why = ("--max-steps reached" if budget_done
+                       else "stop requested")
+                print(f"{why} at step {global_step} "
+                      f"(epoch {epoch} iteration {i}); saved {path} — "
+                      f"continue with --resume {path}")
+                restore_handlers()
+                logger.close()
+                return
+            if args.save_every and global_step % args.save_every == 0:
+                save_latest()
 
         src_acc = validate(val_source_loader, model, variables_of(state), val_source,
                            image_size=args.image_size, heatmap_size=args.heatmap_size,
@@ -506,6 +579,10 @@ def main(args):
         # it continues the exact batch sequence (tests/test_resume.py)
         ckpt.save_aux(logger.get_checkpoint_path(epoch),
                       best_acc=best_acc, **current_stream_aux())
+        if args.keep_checkpoints > 0:
+            ckpt.prune_epoch_checkpoints(
+                logger.checkpoint_directory, args.keep_checkpoints
+            )
         print(
             f"Source: {src_acc['all']:4.3f} Target: {tgt_acc['all']:4.3f} "
             f"Target(best): {best_acc:4.3f}"
@@ -513,6 +590,7 @@ def main(args):
         for name, acc in tgt_acc.items():
             print(f"{name}: {acc:4.3f}")
 
+    restore_handlers()
     logger.close()
 
 

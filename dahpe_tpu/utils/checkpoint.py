@@ -64,6 +64,31 @@ def save_aux(path: str, **arrays) -> None:
     os.replace(tmp, final)
 
 
+def prune_epoch_checkpoints(checkpoint_dir: str, keep: int) -> list[int]:
+    """Delete all but the newest ``keep`` integer-named (per-epoch)
+    checkpoints under ``checkpoint_dir``, plus their ``_aux.npz`` sidecars.
+    Named checkpoints (``best``, ``model_ema``, ``pretrain``…) are never
+    touched. A full optimizer+EMA state lands every epoch — unbounded on a
+    200-epoch production run — so the train CLI calls this behind
+    ``--keep-checkpoints N``. Returns the pruned epoch numbers (process 0
+    only; other hosts no-op like :func:`save_aux`)."""
+    import shutil
+
+    if keep <= 0 or jax.process_index() != 0:
+        return []
+    epochs = sorted(
+        int(name) for name in os.listdir(checkpoint_dir)
+        if name.isdigit() and os.path.isdir(os.path.join(checkpoint_dir, name))
+    )
+    pruned = epochs[:-keep] if keep < len(epochs) else []
+    for epoch in pruned:
+        shutil.rmtree(os.path.join(checkpoint_dir, str(epoch)))
+        aux = os.path.join(checkpoint_dir, f"{epoch}_aux.npz")
+        if os.path.exists(aux):
+            os.remove(aux)
+    return pruned
+
+
 def load_aux(path: str) -> dict:
     """The sidecar arrays saved by :func:`save_aux`; ``{}`` when absent or
     unreadable (checkpoints from before the sidecar existed — or a sidecar

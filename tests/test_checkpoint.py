@@ -98,3 +98,30 @@ def test_load_imagenet_backbone(tmp_path):
     b = jax.tree.leaves(variables["params"]["head"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_prune_epoch_checkpoints(tmp_path):
+    """--keep-checkpoints retention: only the newest N integer-named epoch
+    dirs (+ their aux sidecars) survive; named checkpoints are untouched."""
+    import os
+
+    root = str(tmp_path)
+    for name in ("0", "1", "2", "3", "4", "best", "model_ema"):
+        os.makedirs(os.path.join(root, name))
+        with open(os.path.join(root, f"{name}_aux.npz"), "wb") as fh:
+            fh.write(b"x")
+    # a stray integer-named FILE must not be rmtree'd as a checkpoint
+    with open(os.path.join(root, "7"), "w") as fh:
+        fh.write("not a checkpoint dir")
+
+    pruned = ckpt.prune_epoch_checkpoints(root, keep=2)
+    assert pruned == [0, 1, 2]
+    left = sorted(os.listdir(root))
+    assert left == [
+        "3", "3_aux.npz", "4", "4_aux.npz", "7",
+        "best", "best_aux.npz", "model_ema", "model_ema_aux.npz",
+    ]
+    # keep >= count and keep=0 are no-ops
+    assert ckpt.prune_epoch_checkpoints(root, keep=5) == []
+    assert ckpt.prune_epoch_checkpoints(root, keep=0) == []
+    assert sorted(os.listdir(root)) == left

@@ -1,0 +1,165 @@
+"""Preemption-safe training: --save-every / --max-steps / SIGTERM.
+
+The reference's only recovery story is manual per-epoch ``--resume``
+(``train1.py:190-201``); a preempted run loses the whole epoch in flight.
+The rebuild bounds lost work: ``--save-every N`` writes a mid-epoch
+``latest`` checkpoint (full state + stream-key sidecar) every N iterations,
+``--max-steps`` stops a budget-bound run cleanly at an arbitrary step, and
+SIGTERM/SIGINT finish the in-flight iteration, save ``latest`` and exit 0
+(mirroring cli/serve's drain contract). Resuming ``latest`` continues
+MID-epoch — on the fused device-store path, bit-identically to a run that
+was never interrupted.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.conftest import REPO_ROOT
+from tests.fixtures import make_h3d_fixture, make_rhd_fixture
+
+from dahpe_tpu.cli import train as train_cli
+from dahpe_tpu.cli.args import build_parser
+from dahpe_tpu.utils import checkpoint as ckpt
+
+
+def _base_args(tmp_path, log_name):
+    rhd_root = str(tmp_path / "rhd")
+    h3d_root = str(tmp_path / "h3d")
+    if not os.path.isdir(rhd_root):
+        make_rhd_fixture(rhd_root, n=6, sets=("training", "evaluation"))
+        make_h3d_fixture(h3d_root, n=20)
+    return [
+        h3d_root, "--source_root", rhd_root, "-t", "Hand3DStudio",
+        "-a", "resnet18", "-b", "2", "--pretrain-epochs", "0",
+        "--epochs", "1", "-i", "4", "--workers", "2",
+        "--log", str(tmp_path / log_name), "--print-freq", "1",
+        "--image-size", "64", "--heatmap-size", "16",
+        "--device-store", "--decoded-cache", str(tmp_path / "cache"),
+    ]
+
+
+def _variables(path):
+    return ckpt.load_model_variables(path)
+
+
+def _trees_equal(a, b):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _log_text(log_dir):
+    logs = sorted(f for f in os.listdir(log_dir) if f.endswith(".txt"))
+    return "".join(
+        open(os.path.join(log_dir, f)).read() for f in logs
+    )
+
+
+@pytest.mark.slow
+def test_max_steps_then_resume_matches_straight_run(tmp_path):
+    """--max-steps 2 exits cleanly with a mid-epoch 'latest'; resuming it
+    finishes the epoch and produces the SAME epoch-0 checkpoint, bit for
+    bit, as an uninterrupted run (fused device-store path)."""
+    # straight run, with --save-every also exercising the periodic path
+    train_cli.main(build_parser("train").parse_args(
+        _base_args(tmp_path, "logs_a") + ["--save-every", "3"]
+    ))
+    ckpt_a = str(tmp_path / "logs_a" / "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_a, "0"))
+    # --save-every wrote 'latest' at step 3, mid-epoch, with stream keys
+    assert os.path.isdir(os.path.join(ckpt_a, "latest"))
+    aux = ckpt.load_aux(os.path.join(ckpt_a, "latest"))
+    assert {"best_acc", "key_s", "key_t"} <= set(aux)
+
+    # interrupted run: stops after 2 of 4 iterations, before validation
+    train_cli.main(build_parser("train").parse_args(
+        _base_args(tmp_path, "logs_b") + ["--max-steps", "2"]
+    ))
+    ckpt_b = str(tmp_path / "logs_b" / "checkpoints")
+    latest = os.path.join(ckpt_b, "latest")
+    assert os.path.isdir(latest)
+    assert not os.path.exists(os.path.join(ckpt_b, "0"))
+    text = _log_text(str(tmp_path / "logs_b"))
+    assert "--max-steps reached at step 2 (epoch 0 iteration 1)" in text
+
+    # resume: must start at epoch 0 ITERATION 2 with the stream keys and
+    # converge on the identical epoch checkpoint
+    train_cli.main(build_parser("train").parse_args(
+        _base_args(tmp_path, "logs_b") + ["--resume", latest]
+    ))
+    text = _log_text(str(tmp_path / "logs_b"))
+    assert "at epoch 0 iteration 2 (with stream keys)" in text
+    _trees_equal(
+        _variables(os.path.join(ckpt_a, "0")),
+        _variables(os.path.join(ckpt_b, "0")),
+    )
+
+    # a resume whose budget is already spent is a clean no-op
+    train_cli.main(build_parser("train").parse_args(
+        _base_args(tmp_path, "logs_b")
+        + ["--resume", os.path.join(ckpt_b, "0"), "--max-steps", "4"]
+    ))
+    assert "--max-steps 4 already reached" in _log_text(
+        str(tmp_path / "logs_b")
+    )
+
+
+@pytest.mark.slow
+def test_sigterm_saves_latest_and_exits_zero(tmp_path):
+    """A real SIGTERM to the train CLI process: the in-flight iteration
+    completes, checkpoints/latest lands, exit code is 0 (container-stop /
+    preemption contract, same as cli/serve)."""
+    make_rhd_fixture(str(tmp_path / "rhd"), n=6,
+                     sets=("training", "evaluation"))
+    make_h3d_fixture(str(tmp_path / "h3d"), n=20)
+    log_dir = str(tmp_path / "logs")
+    argv = [
+        str(tmp_path / "h3d"), "--source_root", str(tmp_path / "rhd"),
+        "-t", "Hand3DStudio", "-a", "resnet18", "-b", "2",
+        "--pretrain-epochs", "0", "--epochs", "1", "-i", "100000",
+        "--workers", "2", "--log", log_dir, "--print-freq", "1",
+        "--image-size", "64", "--heatmap-size", "16",
+        "--device-store", "--decoded-cache", str(tmp_path / "cache"),
+    ]
+    # fresh process on plain CPU jax (drop the axon plugin + XLA_FLAGS like
+    # tests/test_multihost.py; JAX_PLATFORMS alone would not stick)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO_ROOT
+    code = (
+        "import sys, jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "from dahpe_tpu.cli.args import build_parser\n"
+        "from dahpe_tpu.cli.train import main\n"
+        "main(build_parser('train').parse_args(sys.argv[1:]))\n"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", code, *argv], env=env)
+    try:
+        # wait until the DA loop is demonstrably iterating (the RunLogger
+        # tee mirrors every progress line into {log}/*.txt)
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if os.path.isdir(log_dir) and "Epoch: [0]" in _log_text(log_dir):
+                break
+            assert proc.poll() is None, "train CLI died before iterating"
+            time.sleep(1.0)
+        else:
+            pytest.fail("train CLI never reached the DA loop")
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=300) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    latest = os.path.join(log_dir, "checkpoints", "latest")
+    assert os.path.isdir(latest)
+    assert {"best_acc", "key_s", "key_t"} <= set(ckpt.load_aux(latest))
+    text = _log_text(log_dir)
+    assert "saving checkpoints/latest" in text
+    assert "stop requested at step" in text
