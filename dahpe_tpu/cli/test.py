@@ -99,6 +99,10 @@ def main(args):
     print(f"Source: {src_acc['all']:4.3f} Target: {tgt_acc['all']:4.3f}")
     for name, acc in tgt_acc.items():
         print(f"{name}: {acc:4.3f}")
+    logger.log_metrics(
+        kind="eval", checkpoint=args.checkpoint,
+        val_source=src_acc["all"], val_target=tgt_acc,
+    )
     logger.close()
 
 

@@ -137,6 +137,11 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
             best_acc = acc["all"]
             ckpt.save_state(pretrain_path, variables_of(state))
         print(f"Source: {acc['all']:.4f} best: {best_acc:.4f}")
+        logger.log_metrics(
+            kind="pretrain_epoch", epoch=epoch, lr=lr,
+            loss_s=losses.avg, acc_s=accs.avg, iter_time_s=batch_time.avg,
+            val_source=acc, best_source=best_acc,
+        )
     return pretrain_path
 
 
@@ -299,6 +304,9 @@ def main(args):
         print(f"Source: {src_acc['all']:4.3f} Target: {tgt_acc['all']:4.3f}")
         for name, acc in tgt_acc.items():
             print(f"{name}: {acc:4.3f}")
+        logger.log_metrics(
+            kind="eval", val_source=src_acc["all"], val_target=tgt_acc,
+        )
         return
 
     # --- DA training over the device mesh --------------------------------
@@ -589,6 +597,14 @@ def main(args):
         )
         for name, acc in tgt_acc.items():
             print(f"{name}: {acc:4.3f}")
+        logger.log_metrics(
+            kind="da_epoch", epoch=epoch, step=global_step,
+            loss_s=losses_s.avg, loss_gf=losses_gf.avg, loss_gt=losses_gt.avg,
+            acc_s=acc_s.avg, acc_t=acc_t.avg, iter_time_s=batch_time.avg,
+            val_source=src_acc["all"], val_target=tgt_acc,
+            best_target=best_acc,
+            **({"val_target_ema": ema_acc["all"]} if args.with_ema else {}),
+        )
 
     restore_handlers()
     logger.close()

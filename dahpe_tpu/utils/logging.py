@@ -1,12 +1,17 @@
-"""Run logger: directories, checkpoint/image paths, console tee.
+"""Run logger: directories, checkpoint/image paths, console tee, metrics.
 
 Equivalent of ``CompleteLogger`` (``utils/logger.py:5-98``) minus the
 stdout/stderr hijack — output is *tee'd* to ``{log}/{phase}-{time}.txt``
-instead of redirected, so the console stays live.
+instead of redirected, so the console stays live. Beyond the reference it
+also appends structured scalars to ``{log}/metrics.jsonl``
+(:meth:`RunLogger.log_metrics`) so dashboards/analysis never have to
+re-parse the console text (the soak/drill experiments do, and it is
+fragile by construction).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -60,6 +65,34 @@ class RunLogger:
                 self.visualize_directory, str(self.epoch), filename
             )
         return os.path.join(self.visualize_directory, filename)
+
+    def log_metrics(self, **scalars) -> None:
+        """Append one JSON line of run metrics to ``{log}/metrics.jsonl``.
+
+        Values are coerced through ``float()`` where possible (numpy/jax
+        scalars included); dict values (per-group PCK tables) are coerced
+        per entry. Appending keeps the file valid across ``--resume``
+        processes — consumers see one monotone stream keyed by ``step``.
+        Multi-host: only process 0 writes (same contract as checkpoint
+        sidecars); a no-tee logger (tests, eval one-offs) still logs.
+        """
+        import jax
+
+        if jax.process_index() != 0:
+            return
+
+        def coerce(v):
+            if isinstance(v, dict):
+                return {k: coerce(x) for k, x in v.items()}
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return v
+
+        record = {"time": round(time.time(), 3), "phase": self.phase}
+        record.update({k: coerce(v) for k, v in scalars.items()})
+        with open(os.path.join(self.root, "metrics.jsonl"), "a") as fh:
+            fh.write(json.dumps(record) + "\n")
 
     def close(self):
         if self._fh is not None:

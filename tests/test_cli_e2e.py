@@ -49,6 +49,16 @@ def test_train_cli_end_to_end(tmp_path):
     assert os.path.isdir(os.path.join(ckpt_dir, "0"))
     assert os.path.isdir(os.path.join(ckpt_dir, "best"))
 
+    # structured metrics landed: one pretrain epoch + one DA epoch
+    import json
+
+    metrics = [json.loads(l)
+               for l in open(os.path.join(log_dir, "metrics.jsonl"))]
+    kinds = [m["kind"] for m in metrics]
+    assert kinds == ["pretrain_epoch", "da_epoch"]
+    assert metrics[1]["val_target"].keys() >= {"all", "MCP", "fingertip"}
+    assert metrics[1]["step"] == 2.0
+
     # evaluate the saved checkpoint through the test CLI
     from dahpe_tpu.cli import test as test_cli
 
