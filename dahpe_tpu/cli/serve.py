@@ -54,6 +54,20 @@ import numpy as np
 import jax
 
 
+class DispatchError(RuntimeError):
+    """A server-side device-dispatch failure (TPU error, mesh divisibility,
+    OOM). Distinct from request-contract violations so the handler can
+    answer 500 — a client with a well-formed request must not be told 400
+    during a server fault (retry logic keys on 4xx-vs-5xx)."""
+
+
+def _pow2_bucket(n: int) -> int:
+    """Smallest power of two >= n. Polymorphic artifacts re-compile per
+    concrete batch shape; padding dispatches to pow2 buckets bounds the
+    compile set to log2(max) programs instead of one per observed size."""
+    return 1 << max(0, (n - 1).bit_length())
+
+
 def build_serve_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="serve an exported artifact over HTTP"
@@ -146,16 +160,24 @@ class _Servable:
             )
 
     def run_arrays(self, frames: np.ndarray):
-        """One device dispatch: pad to the compiled batch, predict, return
-        the live rows as numpy ``(coords (n,K,2), maxvals (n,K))``."""
+        """One device dispatch: pad to the compiled batch (fixed-batch
+        artifacts) or the next power-of-two bucket (batch-polymorphic ones,
+        bounding recompiles under varying request/coalesced sizes — rows
+        are per-sample independent, so padding never changes live rows),
+        predict, return the live rows as numpy ``(coords (n,K,2),
+        maxvals (n,K))``."""
         n = frames.shape[0]
-        if self.batch is not None and n < self.batch:
+        target = self.batch if self.batch is not None else _pow2_bucket(n)
+        if n < target:
             frames = np.concatenate(
-                [frames, np.zeros((self.batch - n,) + self.frame_shape,
+                [frames, np.zeros((target - n,) + self.frame_shape,
                                   self.dtype)]
             )
         with self._lock:
-            coords, maxvals = self.predict(self.weights, frames)
+            try:
+                coords, maxvals = self.predict(self.weights, frames)
+            except Exception as e:
+                raise DispatchError(f"{type(e).__name__}: {e}") from e
             self.batches += 1
         return np.asarray(coords)[:n], np.asarray(maxvals)[:n, :, 0]
 
@@ -242,8 +264,10 @@ class _Batcher:
                     item["maxvals"] = maxvals[off:off + n]
                     off += n
             except Exception as e:  # pragma: no cover - device failure
+                err = (e if isinstance(e, DispatchError)
+                       else DispatchError(f"{type(e).__name__}: {e}"))
                 for item in take:
-                    item["error"] = e
+                    item["error"] = err
             finally:
                 for item in take:
                     item["done"].set()
@@ -281,13 +305,28 @@ def _make_handler(servable: _Servable, batcher: _Batcher | None = None):
                 self._reply(200, out)
             except OverflowError as e:
                 self._reply(413, {"error": str(e)})
+            except DispatchError as e:  # server fault, NOT the client's
+                self._reply(500, {"error": str(e)})
             except Exception as e:  # malformed body/shape/dtype
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *args):  # route access logs to stdout
             print(f"{self.address_string()} {fmt % args}")
 
+        # a stalled client read must not pin a (joined-on-close) handler
+        # thread forever; the socket errors out and the thread exits
+        timeout = 120
+
     return Handler
+
+
+class _DrainingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer whose ``server_close`` actually drains: handler
+    threads are non-daemon, so close joins every in-flight request before
+    the process exits (stdlib skips daemon threads in ``_Threads``) —
+    killing a handler mid-TPU-dispatch would wedge the chip."""
+
+    daemon_threads = False  # block_on_close (default True) then joins
 
 
 def create_server(args) -> ThreadingHTTPServer:
@@ -297,7 +336,7 @@ def create_server(args) -> ThreadingHTTPServer:
         _Batcher(servable, args.batch_window / 1e3, args.max_batch)
         if args.batch_window > 0 else None
     )
-    server = ThreadingHTTPServer(
+    server = _DrainingHTTPServer(
         (args.host, args.port), _make_handler(servable, batcher)
     )
     server.servable = servable

@@ -30,6 +30,11 @@ from dahpe_tpu.utils.logging import RunLogger
 
 
 def main(args):
+    # argument contract FIRST: failing after the dataset build (and, under
+    # --device-store, the full val-split decode + HBM upload through a
+    # ~75 MB/s tunnel) would waste minutes on a usage error
+    if (args.checkpoint is None) == (getattr(args, "artifact", None) is None):
+        raise SystemExit("pass exactly one of --checkpoint / --artifact")
     enable_compile_cache()
     logger = RunLogger(args.log, "test")
     print(args)
@@ -47,9 +52,6 @@ def main(args):
     else:
         val_source_loader = build_val_loader(args, val_source)
         val_target_loader = build_val_loader(args, val_target)
-
-    if (args.checkpoint is None) == (getattr(args, "artifact", None) is None):
-        raise SystemExit("pass exactly one of --checkpoint / --artifact")
 
     if args.artifact:
         # deployment acceptance: drive the exported StableHLO program

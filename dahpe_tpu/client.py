@@ -43,9 +43,23 @@ class PoseClient:
         self._conn = HTTPConnection(host, port, timeout=timeout)
 
     def _json(self, resp) -> dict:
-        body = json.loads(resp.read())
+        raw = resp.read()
+        try:
+            body = json.loads(raw)
+        except ValueError:
+            # replies produced outside the endpoint's JSON path (stdlib
+            # send_error HTML, a proxy's error page) still surface as the
+            # documented ServeError, never a JSONDecodeError
+            body = None
         if resp.status != 200:
-            raise ServeError(resp.status, body.get("error", str(body)))
+            message = (body.get("error", str(body))
+                       if isinstance(body, dict)
+                       else raw.decode("utf-8", "replace")[:200])
+            raise ServeError(resp.status, message)
+        if not isinstance(body, dict):
+            raise ServeError(
+                resp.status, f"non-JSON 200 reply: {raw[:200]!r}"
+            )
         return body
 
     def health(self) -> dict:

@@ -123,8 +123,9 @@ def test_serve_cli_http(tmp_path):
 
 def test_serve_cli_uint8_polymorphic(tmp_path):
     """A batch-polymorphic uint8-ingest artifact: the server skips warmup
-    (no fixed batch), accepts ANY request batch without padding, enforces
-    the uint8 dtype contract, and matches a direct artifact call."""
+    (no fixed batch), accepts ANY request batch (padded to a power-of-two
+    bucket server-side), enforces the uint8 dtype contract, and matches a
+    direct artifact call."""
     from dahpe_tpu.cli.serve import build_serve_parser, create_server
     from dahpe_tpu.serving import load_artifact_weights, load_predict_file
 
@@ -302,6 +303,224 @@ def test_serve_cli_batching_oversize_polymorphic(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serve_cli_pow2_bucketing(tmp_path):
+    """Batch-polymorphic artifacts dispatch on power-of-two padded batches:
+    arbitrary request sizes would otherwise compile one program per
+    observed size; bucketing bounds the compile set to log2(max) programs.
+    Padding must never change the live rows (per-sample independence)."""
+    from dahpe_tpu.cli.serve import (
+        _pow2_bucket, build_serve_parser, create_server,
+    )
+    from dahpe_tpu.serving import load_artifact_weights, load_predict_file
+
+    assert [_pow2_bucket(n) for n in (1, 2, 3, 5, 8, 9)] == \
+        [1, 2, 4, 8, 8, 16]
+
+    artifact = _export_artifact(tmp_path, None)  # polymorphic, float32
+    server = create_server(build_serve_parser().parse_args(
+        [artifact, "--port", "0"]
+    ))
+    try:
+        servable = server.servable
+        dispatched = []
+        orig_predict = servable.predict
+
+        def recording(w, f):
+            dispatched.append(f.shape[0])
+            return orig_predict(w, f)
+
+        servable.predict = recording
+        rng = np.random.default_rng(7)
+        frames = rng.standard_normal((5, 64, 64, 3)).astype(np.float32)
+        out = servable.run(frames)
+        assert dispatched == [8]  # 5 → pow2 bucket 8
+        coords = np.asarray(out["coords"])
+        assert coords.shape == (5, 21, 2)
+        # live rows equal the unpadded direct call — padding is invisible
+        predict = load_predict_file(artifact)
+        weights = load_artifact_weights(artifact + ".weights.npz")
+        coords_direct, _ = predict(weights, frames)
+        np.testing.assert_array_equal(coords, np.asarray(coords_direct))
+        # an exact-bucket batch dispatches unpadded
+        servable.run(frames[:4])
+        assert dispatched == [8, 4]
+    finally:
+        server.server_close()
+
+
+def test_serve_cli_dispatch_error_is_500(tmp_path):
+    """A device-dispatch failure on a WELL-FORMED request answers 500, not
+    400 — client retry logic keys on 4xx-vs-5xx, and a valid request must
+    never be blamed for a server fault. The server stays up and recovers
+    once the device does."""
+    from dahpe_tpu.cli.serve import build_serve_parser, create_server
+
+    artifact = _export_artifact(tmp_path, batch=4)
+    server = create_server(build_serve_parser().parse_args(
+        [artifact, "--port", "0"]
+    ))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+        frames = np.zeros((2, 64, 64, 3), np.float32)
+
+        orig_predict = server.servable.predict
+
+        def failing(w, f):
+            raise RuntimeError("RESOURCE_EXHAUSTED: simulated device OOM")
+
+        server.servable.predict = failing
+        status, out = _post_npy(conn, "/predict", frames)
+        assert status == 500
+        assert "RESOURCE_EXHAUSTED" in out["error"]
+
+        # malformed request during the same fault is still the client's 400
+        status, _ = _post_npy(
+            conn, "/predict", np.zeros((2, 32, 32, 3), np.float32)
+        )
+        assert status == 400
+
+        server.servable.predict = orig_predict
+        status, out = _post_npy(conn, "/predict", frames)
+        assert status == 200  # recovered without restart
+        assert np.asarray(out["coords"]).shape == (2, 21, 2)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_serve_cli_dispatch_error_500_batched(tmp_path):
+    """The same 5xx contract through the dynamic-batching path: the
+    collector thread's dispatch failure propagates to every coalesced
+    handler as a 500."""
+    from dahpe_tpu.cli.serve import build_serve_parser, create_server
+
+    artifact = _export_artifact(tmp_path, batch=4)
+    server = create_server(build_serve_parser().parse_args(
+        [artifact, "--port", "0", "--batch-window", "20"]
+    ))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+
+        def failing(w, f):
+            raise RuntimeError("simulated mid-batch device failure")
+
+        server.servable.predict = failing
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+        status, out = _post_npy(
+            conn, "/predict", np.zeros((2, 64, 64, 3), np.float32)
+        )
+        assert status == 500
+        assert "device failure" in out["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_client_non_json_error_bodies():
+    """PoseClient must surface replies produced OUTSIDE the endpoint's JSON
+    path (stdlib send_error HTML, a proxy's error page, a truncated body)
+    as the documented ServeError — never a raw JSONDecodeError."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from dahpe_tpu.client import PoseClient, ServeError
+
+    class OddHandler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            # 200 with a non-JSON body (e.g. a misconfigured proxy)
+            body = b"<html>totally not json</html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            self.send_error(503, "upstream unavailable")  # HTML error page
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), OddHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        with PoseClient("127.0.0.1", port) as client:
+            try:
+                client.health()  # GET → 200 non-JSON
+                raise AssertionError("non-JSON 200 must raise ServeError")
+            except ServeError as e:
+                assert e.status == 200 and "non-JSON" in str(e)
+            try:
+                client.predict(np.zeros((1, 8, 8, 3), np.float32))
+                raise AssertionError("HTML 503 must raise ServeError")
+            except ServeError as e:
+                assert e.status == 503
+                # the raw (truncated) HTML body is the message — readable,
+                # not a JSONDecodeError traceback
+                assert "Error response" in str(e)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_serve_cli_close_drains_handlers(tmp_path):
+    """server_close joins in-flight handler threads (non-daemon): a request
+    accepted before shutdown completes instead of being killed mid-device-
+    dispatch (which would wedge the chip)."""
+    from dahpe_tpu.cli.serve import build_serve_parser, create_server
+
+    artifact = _export_artifact(tmp_path, batch=4)
+    server = create_server(build_serve_parser().parse_args(
+        [artifact, "--port", "0"]
+    ))
+    assert server.daemon_threads is False  # stdlib joins only non-daemon
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+
+    entered = threading.Event()
+    release = threading.Event()
+    orig_predict = server.servable.predict
+
+    def slow(w, f):
+        entered.set()
+        release.wait(timeout=60)
+        return orig_predict(w, f)
+
+    server.servable.predict = slow
+    result = {}
+
+    def client():
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+        result["reply"] = _post_npy(
+            conn, "/predict", np.zeros((2, 64, 64, 3), np.float32)
+        )
+
+    c = threading.Thread(target=client)
+    c.start()
+    assert entered.wait(timeout=60)
+    server.shutdown()          # stop accepting; in-flight request lives on
+
+    closer = threading.Thread(target=server.server_close)
+    closer.start()
+    closer.join(timeout=1.0)
+    assert closer.is_alive()   # close BLOCKS on the in-flight handler
+
+    release.set()
+    closer.join(timeout=60)
+    assert not closer.is_alive()
+    c.join(timeout=60)
+    status, out = result["reply"]
+    assert status == 200       # the drained request completed normally
+    assert np.asarray(out["coords"]).shape == (2, 21, 2)
 
 
 def test_serve_cli_mesh(tmp_path):
