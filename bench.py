@@ -597,9 +597,11 @@ def main() -> None:
         )
         return
 
-    # batch sweep on v5e (r2): 64->4644, 96->5075, 128->5000, 160->4484,
-    # 192->4529 img/s; 96 is the knee
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    # batch sweep on v5e (r2/r3): 64->4644, 96->5065, 100->4974, 104->5180,
+    # 108->5025, 112->5206, 116->4815, 120->4984, 128->5000, 160->4484,
+    # 192->4529 img/s; non-monotone (XLA tiling), 112 is the stable peak
+    # (3 runs within 0.06%)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 112
     backbone = models.get_backbone("resnet101", dtype=jnp.bfloat16)
     model = models.MultiHeadPoseResNet(
         backbone=backbone, num_keypoints=21, dtype=jnp.bfloat16
