@@ -24,7 +24,7 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
     parser.add_argument("-a", "--arch", default="resnet101",
                         choices=sorted(models.BACKBONES))
     parser.add_argument("--pretrain", type=str, default=None,
-                        help="pretrained checkpoint (orbax dir or reference .pth)")
+                        help="pretrained checkpoint (checkpoint dir or reference .pth)")
     parser.add_argument("--imagenet-pth", type=str, default=None,
                         help="torchvision ImageNet .pth for backbone init "
                              "(this environment has no network egress)")
@@ -108,7 +108,7 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                              "blur + normalize), Gaussian targets on device")
     if phase == "test":
         parser.add_argument("--checkpoint", type=str, default=None,
-                            help="checkpoint to evaluate (orbax dir or .pth)")
+                            help="checkpoint to evaluate (checkpoint dir or .pth)")
         parser.add_argument("--artifact", type=str, default=None,
                             help="evaluate an EXPORTED serving artifact "
                                  "(cli.export StableHLO + sibling "

@@ -1,7 +1,8 @@
 """Serving-export CLI: checkpoint → portable StableHLO artifact.
 
-``python -m dahpe_tpu.cli.export <checkpoint> -o model.stablehlo`` loads an
-orbax checkpoint (or a reference torch ``.pth``, via the importer) and
+``python -m dahpe_tpu.cli.export <checkpoint> -o model.stablehlo`` loads a
+checkpoint (packed dir — legacy orbax dirs and reference torch ``.pth``
+files load too, via ``utils/checkpoint.py``/the importer) and
 serializes the fused forward-plus-decode serving program (images →
 image-space keypoints + confidences) with :mod:`dahpe_tpu.serving`
 (``jax.export``). The artifact reloads with
@@ -28,7 +29,7 @@ def build_export_parser() -> argparse.ArgumentParser:
         description="Export the serving program (StableHLO via jax.export)"
     )
     p.add_argument("checkpoint",
-                   help="orbax checkpoint dir or reference .pth")
+                   help="checkpoint dir (packed or legacy orbax) or reference .pth")
     p.add_argument("-o", "--output", required=True,
                    help="output artifact path")
     p.add_argument("-a", "--arch", default="resnet101",

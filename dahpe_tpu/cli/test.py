@@ -1,7 +1,7 @@
 """Evaluation CLI — the TPU-native ``test.py``.
 
 ``python -m dahpe_tpu.cli.test <target_root> -t STB --checkpoint <path>``
-loads a checkpoint (orbax dir, or a reference torch ``.pth`` incl. the
+loads a checkpoint (packed/legacy-orbax dir, or a reference torch ``.pth`` incl. the
 published ``STB_best_750.pth`` / ``H3D_best_754.pth``) and reports per-group
 PCK@0.05 on the source and target test splits (``test.py:37-227`` parity).
 

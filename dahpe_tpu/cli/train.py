@@ -35,6 +35,7 @@ from dahpe_tpu.train import create_da_state, create_pretrain_state, make_pretrai
 from dahpe_tpu.train.optim import pretrain_lr_factor
 from dahpe_tpu.train.rng import iter_keys
 from dahpe_tpu.utils import checkpoint as ckpt
+from dahpe_tpu.utils import fast_ckpt
 from dahpe_tpu.utils.logging import RunLogger
 from dahpe_tpu.utils.meters import AverageMeter, ProgressMeter
 
@@ -46,7 +47,8 @@ def variables_of(state):
 
 
 def pretrain_phase(args, logger, train_source_loader, val_source_loader,
-                   val_source_dataset, *, source_store=None, mesh=None):
+                   val_source_dataset, *, source_store=None, mesh=None,
+                   saver=None):
     """Supervised source pretraining (``train1.py:158-181``).
 
     With ``source_store`` (a :class:`DeviceDataStore` sharded over ``mesh``)
@@ -135,13 +137,20 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
         )
         if acc["all"] > best_acc:
             best_acc = acc["all"]
-            ckpt.save_state(pretrain_path, variables_of(state))
+            if saver is not None:
+                # drains behind the next epoch's compute; flushed below
+                # before the caller loads the checkpoint back
+                saver.save(pretrain_path, variables_of(state))
+            else:
+                ckpt.save_state(pretrain_path, variables_of(state))
         print(f"Source: {acc['all']:.4f} best: {best_acc:.4f}")
         logger.log_metrics(
             kind="pretrain_epoch", epoch=epoch, lr=lr,
             loss_s=losses.avg, acc_s=accs.avg, iter_time_s=batch_time.avg,
             val_source=acc, best_source=best_acc,
         )
+    if saver is not None:
+        saver.flush()  # the DA phase loads pretrain_path right away
     return pretrain_path
 
 
@@ -152,6 +161,11 @@ def main(args):
     if getattr(args, "multihost", False):
         jax.distributed.initialize()
     logger = RunLogger(args.log, args.phase)
+    # checkpoint writes drain on a worker thread behind the next epoch's
+    # compute (a concurrent D2H measured zero step slowdown): the flagship
+    # state is ~460 MB and a synchronous drain through a slow device link
+    # would stall the loop for tens of seconds per save (docs/PERF.md)
+    saver = fast_ckpt.AsyncSaver()
     print(args)
     random.seed(args.seed)
     np.random.seed(args.seed)
@@ -265,7 +279,7 @@ def main(args):
                 args, logger, pretrain_source_loader, val_source_loader,
                 val_source,
                 source_store=stores["source"] if stores else None,
-                mesh=mesh,
+                mesh=mesh, saver=saver,
             )
         if pretrain_path is not None:
             variables = variables_of(state)
@@ -471,10 +485,12 @@ def main(args):
         # closes over the loop's current `state` binding; resuming this
         # checkpoint lands mid-epoch (start_iter above) and, on the
         # device-store paths, continues the batch sequence bit-identically
-        # (tests/test_preempt.py)
+        # (tests/test_preempt.py). Enqueued async: --save-every keeps
+        # training while the write drains; the stop path flushes before
+        # exiting.
         path = logger.get_checkpoint_path("latest")
-        ckpt.save_state(path, state)
-        ckpt.save_aux(path, best_acc=best_acc, **current_stream_aux())
+        saver.save(path, state)
+        saver.save_aux(path, best_acc=best_acc, **current_stream_aux())
         return path
 
     print("Start regression domain adaptation.")
@@ -542,6 +558,7 @@ def main(args):
             budget_done = args.max_steps and global_step >= args.max_steps
             if stop_requested or budget_done:
                 path = save_latest()
+                saver.flush()  # the write must land before the exit
                 why = ("--max-steps reached" if budget_done
                        else "stop requested")
                 print(f"{why} at step {global_step} "
@@ -562,9 +579,10 @@ def main(args):
                            visualize=make_visualizer(val_target, logger) if args.debug else None,
                            eval_step=eval_step)
 
-        ckpt.save_state(logger.get_checkpoint_path(epoch), state)
+        epoch_path = logger.get_checkpoint_path(epoch)
+        saver.save(epoch_path, state)
         if args.with_ema:
-            ckpt.save_state(
+            saver.save(
                 logger.get_checkpoint_path("model_ema"),
                 {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
             )
@@ -579,18 +597,22 @@ def main(args):
             print(f"ema: {ema_acc['all']:4.3f}")
         if tgt_acc["all"] > best_acc:
             best_acc = tgt_acc["all"]
-            ckpt.save_state(logger.get_checkpoint_path("best"), state)
-            ckpt.save_aux(logger.get_checkpoint_path("best"),
-                          best_acc=best_acc, **current_stream_aux())
+            # identical bytes to the epoch save just enqueued: duplicate it
+            # host-side (hardlinks) instead of paying a second device drain
+            saver.link(epoch_path, logger.get_checkpoint_path("best"))
+            saver.save_aux(logger.get_checkpoint_path("best"),
+                           best_acc=best_acc, **current_stream_aux())
         # aux AFTER the best update so the epoch checkpoint records the
         # current watermark + the post-epoch sampling-key buffers: restoring
         # it continues the exact batch sequence (tests/test_resume.py)
-        ckpt.save_aux(logger.get_checkpoint_path(epoch),
-                      best_acc=best_acc, **current_stream_aux())
+        saver.save_aux(epoch_path,
+                       best_acc=best_acc, **current_stream_aux())
         if args.keep_checkpoints > 0:
-            ckpt.prune_epoch_checkpoints(
-                logger.checkpoint_directory, args.keep_checkpoints
-            )
+            # ordered after the pending saves on the worker — never prunes
+            # a directory a queued job is still writing or linking from
+            saver.run(lambda d=logger.checkpoint_directory,
+                      k=args.keep_checkpoints:
+                      ckpt.prune_epoch_checkpoints(d, k))
         print(
             f"Source: {src_acc['all']:4.3f} Target: {tgt_acc['all']:4.3f} "
             f"Target(best): {best_acc:4.3f}"
@@ -606,6 +628,7 @@ def main(args):
             **({"val_target_ema": ema_acc["all"]} if args.with_ema else {}),
         )
 
+    saver.flush()
     restore_handlers()
     logger.close()
 

@@ -1,10 +1,12 @@
-"""Checkpointing: orbax for native state, plus reference-``.pth`` interop.
+"""Checkpointing: packed native state, plus reference-``.pth`` interop.
 
 The reference saves per-epoch torch dicts with model + 3 of 5 optimizer /
 scheduler states (``train1.py:248-268``). Natively we checkpoint the FULL
-``DATrainState`` pytree (all five optimizer partitions, step, EMA) with
-orbax; ``save_reference_pth`` emits a torch-compatible ``state_dict`` so
-models trained here load in the upstream codebase.
+``DATrainState`` pytree (all five optimizer partitions, step, EMA) in the
+packed format (``utils/fast_ckpt.py`` — a few contiguous buffers instead
+of a file per leaf; legacy orbax directories stay restorable);
+``save_reference_pth`` emits a torch-compatible ``state_dict`` so models
+trained here load in the upstream codebase.
 """
 
 from __future__ import annotations
@@ -21,15 +23,26 @@ def _checkpointer():
 
 
 def save_state(path: str, state) -> None:
-    """Save a train-state pytree (orbax, overwriting)."""
-    path = os.path.abspath(path)
-    ckptr = _checkpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    """Save a train-state pytree (packed format, overwriting).
+
+    Packed (``utils/fast_ckpt.py``) replaced orbax as the write format:
+    draining the 981-leaf flagship state leaf-by-leaf through this class
+    of device link measured 50-150 s per save vs ~20 s packed (and ~0 s
+    effective through :class:`fast_ckpt.AsyncSaver`). Legacy orbax
+    directories remain restorable below."""
+    from dahpe_tpu.utils import fast_ckpt
+
+    fast_ckpt.save_packed(path, state)
 
 
 def restore_state(path: str, target):
-    """Restore into the structure of ``target`` (a template state)."""
+    """Restore into the structure of ``target`` (a template state).
+    Reads both packed checkpoints and legacy orbax directories."""
+    from dahpe_tpu.utils import fast_ckpt
+
     path = os.path.abspath(path)
+    if fast_ckpt.is_packed(path):
+        return fast_ckpt.restore_packed(path, target)
     ckptr = _checkpointer()
     return ckptr.restore(path, item=jax.device_get(target))
 
@@ -108,8 +121,15 @@ def load_aux(path: str) -> dict:
 
 
 def load_model_variables(path: str):
-    """Restore only {params, batch_stats} from a saved train state."""
-    state = _checkpointer().restore(os.path.abspath(path))
+    """Restore only {params, batch_stats} from a saved train state
+    (packed or legacy orbax; host arrays either way)."""
+    from dahpe_tpu.utils import fast_ckpt
+
+    path = os.path.abspath(path)
+    if fast_ckpt.is_packed(path):
+        state = fast_ckpt.load_packed_tree(path)
+    else:
+        state = _checkpointer().restore(path)
     return {"params": state["params"], "batch_stats": state["batch_stats"]}
 
 

@@ -1,0 +1,381 @@
+"""Packed checkpoints: the whole train state as a few contiguous buffers.
+
+A leaf-per-file checkpointer is pathological on a high-latency device
+link: the flagship DA state is 981 leaves / 459 MB, and draining it
+leaf-by-leaf through this environment's tunneled TPU costs 50-150 s
+measured (each small transfer pays the ~26 ms round trip; the link does
+not pipeline), with restore in the same class — before a byte hits disk.
+
+Here ONE jitted program concatenates every leaf into per-dtype 1-D
+buffers split into ~32 MB chunks (the measured sweet spot of the link:
+one 459 MB transfer crawls at ~5 MB/s, 32 MB chunks sustain ~21 MB/s),
+so a save is a handful of large transfers at the link's best rate plus
+plain ``np.save`` writes (~2 GB/s disk; ``np.savez`` measured 250x
+slower on this image and is avoided). Restore mirrors it: one upload per
+chunk, then a single jitted slice/reshape/unflatten.
+
+The packed chunks are freshly allocated device buffers, which makes them
+natural snapshots for :class:`AsyncSaver`: the training loop can donate
+its state buffers to the next iteration (``train/fused.py``) while a
+worker thread drains the snapshot to disk — a concurrent D2H measured
+ZERO slowdown on the compute stream (docs/PERF.md "Checkpointing"), so
+epoch-boundary saves cost the loop nothing.
+
+On-disk layout (a directory, like the orbax checkpoints it replaces, so
+path/sidecar/prune semantics are unchanged)::
+
+    <path>/packed_spec.json     # per-leaf path/shape/dtype + chunk table
+    <path>/g<i>.npy             # chunk i (bfloat16 stored as uint16)
+
+``utils/checkpoint.py`` keeps reading legacy orbax directories (those
+lack ``packed_spec.json``) so older runs stay restorable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SPEC_NAME = "packed_spec.json"
+CHUNK_BYTES = 32 * 1024 * 1024
+
+# numpy has no native bfloat16: store those chunks as uint16 bit patterns
+_STORAGE_VIEW = {"bfloat16": np.uint16}
+
+
+def _key_step(k) -> list:
+    """One key-path entry -> a JSON-able ``[kind, key]`` pair."""
+    from jax.tree_util import DictKey, FlattenedIndexKey, GetAttrKey, SequenceKey
+
+    if isinstance(k, DictKey):
+        return ["d", str(k.key)]
+    if isinstance(k, GetAttrKey):
+        return ["a", k.name]
+    if isinstance(k, SequenceKey):
+        return ["s", str(k.idx)]
+    if isinstance(k, FlattenedIndexKey):
+        return ["i", str(k.key)]
+    return ["?", str(k)]
+
+
+def _spec_of(tree) -> tuple[dict, list]:
+    """``(spec, leaves)``: per-leaf path/shape/dtype plus the chunk table
+    assigning every leaf a (chunk, offset) in dtype-major order."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    leaves_spec, leaves = [], []
+    for path, leaf in flat:
+        leaves_spec.append({
+            "path": [_key_step(k) for k in path],
+            "shape": list(leaf.shape),
+            "dtype": np.dtype(leaf.dtype).name,
+        })
+        leaves.append(leaf)
+    # dtype-major packing order: stable, independent of leaf order churn
+    order = sorted(range(len(leaves)),
+                   key=lambda i: (leaves_spec[i]["dtype"], i))
+    chunks, cur_dtype, cur_elems, cur_members = [], None, 0, []
+    for i in order:
+        d = leaves_spec[i]["dtype"]
+        size = int(np.prod(leaves_spec[i]["shape"], dtype=np.int64))
+        per_elem = np.dtype(d).itemsize
+        if (d != cur_dtype
+                or (cur_elems + size) * per_elem > CHUNK_BYTES and cur_elems):
+            if cur_members:
+                chunks.append({"dtype": cur_dtype, "elems": cur_elems,
+                               "members": cur_members})
+            cur_dtype, cur_elems, cur_members = d, 0, []
+        leaves_spec[i]["chunk"] = len(chunks)
+        leaves_spec[i]["offset"] = cur_elems
+        cur_members.append(i)
+        cur_elems += size
+    if cur_members:
+        chunks.append({"dtype": cur_dtype, "elems": cur_elems,
+                       "members": cur_members})
+    return {"version": 1, "leaves": leaves_spec, "chunks": chunks}, leaves
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _pack(leaves, spec_json: str):
+    spec = json.loads(spec_json)
+    out = []
+    for chunk in spec["chunks"]:
+        parts = [jnp.ravel(leaves[i]) for i in chunk["members"]]
+        out.append(jnp.concatenate(parts) if len(parts) > 1
+                   else jnp.reshape(parts[0], (-1,)) + jnp.zeros((), parts[0].dtype))
+    return out
+
+
+def pack_state(tree) -> tuple[dict, list]:
+    """Snapshot ``tree`` into packed device chunks (fresh buffers — safe
+    against the caller donating the original state to its next step)."""
+    spec, leaves = _spec_of(tree)
+    chunks = _pack(leaves, json.dumps(spec))
+    return spec, chunks
+
+
+def _write(path: str, spec: dict, host_chunks: list) -> None:
+    """Atomic-ish directory write: build ``<path>.tmp_pack``, swap it in.
+    A crash mid-build leaves the previous checkpoint untouched."""
+    tmp = path + ".tmp_pack"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for i, arr in enumerate(host_chunks):
+        np.save(os.path.join(tmp, f"g{i}.npy"), arr)
+    with open(os.path.join(tmp, SPEC_NAME), "w") as fh:
+        json.dump(spec, fh)
+    old = path + ".old_pack"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _fetch(chunks) -> list:
+    """Device -> host, viewing storage dtypes numpy lacks as bit patterns.
+    All transfers are started async up front: pipelining them measured
+    1.7x the sequential fetch on this link (3.7 vs 2.2 MB/s for the full
+    flagship state — the link's bulk-D2H rate is the floor either way)."""
+    for arr in chunks:
+        try:
+            arr.copy_to_host_async()
+        except Exception:
+            pass  # not every backend implements it; np.asarray still works
+    out = []
+    for arr in chunks:
+        h = np.asarray(arr)
+        view = _STORAGE_VIEW.get(h.dtype.name)
+        out.append(h.view(view) if view is not None else h)
+    return out
+
+
+def is_packed(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, SPEC_NAME))
+
+
+def save_packed(path: str, tree) -> None:
+    """Pack + drain + write. EVERY process runs the pack program (a jit
+    over multi-host global arrays must be entered collectively, even
+    though replicated packing needs no communication); only process 0
+    drains and writes (mirrors ``save_aux``)."""
+    spec, chunks = pack_state(tree)
+    if jax.process_index() != 0:
+        return
+    _write(os.path.abspath(path), spec, _fetch(chunks))
+
+
+def _chunk_host_arrays(path: str, spec: dict) -> list:
+    out = []
+    for i, chunk in enumerate(spec["chunks"]):
+        arr = np.load(os.path.join(path, f"g{i}.npy"))
+        view = _STORAGE_VIEW.get(chunk["dtype"])
+        if view is not None and arr.dtype == view:
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
+        out.append(arr)
+    return out
+
+
+def _load_spec(path: str) -> dict:
+    with open(os.path.join(path, SPEC_NAME)) as fh:
+        return json.load(fh)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _unpack(chunks, spec_json: str):
+    spec = json.loads(spec_json)
+    leaves = [None] * len(spec["leaves"])
+    for ci, chunk in enumerate(spec["chunks"]):
+        for i in chunk["members"]:
+            ls = spec["leaves"][i]
+            size = int(np.prod(ls["shape"], dtype=np.int64))
+            flat = jax.lax.slice(chunks[ci], (ls["offset"],),
+                                 (ls["offset"] + size,))
+            leaves[i] = jnp.reshape(flat, ls["shape"])
+    return leaves
+
+
+def _replicated_sharding(target):
+    """The template's mesh as a replicated sharding, when it has one —
+    chunks uploaded with it make the jitted unpack produce leaves already
+    laid out like the template (incl. multi-host replicated globals)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    for leaf in jax.tree_util.tree_leaves(target):
+        sh = getattr(leaf, "sharding", None)
+        if isinstance(sh, NamedSharding):
+            return NamedSharding(sh.mesh, PartitionSpec())
+    return None
+
+
+def restore_packed(path: str, target):
+    """Restore into ``target``'s structure: one upload per chunk, one
+    jitted unpack. The saved per-leaf paths/shapes/dtypes must match the
+    template exactly — a mismatch is a hard error, not a silent merge."""
+    path = os.path.abspath(path)
+    spec = _load_spec(path)
+    t_spec, _ = _spec_of(target)
+    if t_spec["leaves"] != spec["leaves"]:
+        for a, b in zip(t_spec["leaves"], spec["leaves"]):
+            if a != b:
+                raise ValueError(
+                    f"packed checkpoint mismatch at {b['path']}: saved "
+                    f"{b['shape']}/{b['dtype']} vs template "
+                    f"{a['shape']}/{a['dtype']}"
+                )
+        raise ValueError(
+            f"packed checkpoint holds {len(spec['leaves'])} leaves, "
+            f"template has {len(t_spec['leaves'])}"
+        )
+    repl = _replicated_sharding(target)
+    chunks = [jax.device_put(a) if repl is None else jax.device_put(a, repl)
+              for a in _chunk_host_arrays(path, spec)]
+    leaves = _unpack(chunks, json.dumps(spec))
+    treedef = jax.tree_util.tree_structure(target)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_packed_tree(path: str) -> dict:
+    """Template-free restore to HOST numpy as nested dicts (dataclass
+    fields become dict keys — the shape ``cli.test``/``cli.export`` expect
+    when they pick ``{params, batch_stats}`` out of a full train state).
+    Pure host slicing: no device involved."""
+    path = os.path.abspath(path)
+    spec = _load_spec(path)
+    host = _chunk_host_arrays(path, spec)
+    root: dict = {}
+    for ls in spec["leaves"]:
+        size = int(np.prod(ls["shape"], dtype=np.int64))
+        flat = host[ls["chunk"]][ls["offset"]:ls["offset"] + size]
+        value = flat.reshape(ls["shape"])
+        node = root
+        for kind, key in ls["path"][:-1]:
+            node = node.setdefault(key, {})
+        node[ls["path"][-1][1]] = value
+    return root
+
+
+class AsyncSaver:
+    """Overlap checkpoint writes with training.
+
+    ``save()`` packs the state into fresh device buffers NOW (cheap, one
+    dispatch) and hands the drain-to-disk to a worker thread; a
+    concurrent D2H measured zero compute slowdown here, so the training
+    loop keeps stepping while ~30 s of transfer happens behind it.
+    ``link()`` enqueues a host-side copy of an already-saved checkpoint
+    (the ``best`` copy is identical bytes to the epoch save — repeating
+    the D2H for it would double the drain for nothing). Jobs run in
+    submission order on ONE worker, so a ``link`` after its source's
+    ``save`` is safe. ``flush()`` blocks until the queue drains and
+    re-raises the first worker error; call it before process exit and
+    before pruning. Bounded queue (default 2 pending) caps the extra HBM
+    held by snapshots."""
+
+    def __init__(self, max_pending: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
+        self._error: BaseException | None = None
+        self._gen: dict[str, int] = {}  # per-path save generation
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            job = self._q.get()
+            try:
+                if self._error is None:
+                    job()
+            except BaseException as e:  # surfaced by the next flush/save
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self) -> None:
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError(f"async checkpoint save failed: {e}") from e
+
+    def save(self, path: str, tree) -> None:
+        self._raise_pending()
+        spec, chunks = pack_state(tree)  # collective: all processes enter
+        if jax.process_index() != 0:
+            return
+        path = os.path.abspath(path)
+        # generation stamp: when saves to ONE path (--save-every's `latest`)
+        # outpace the link, a still-queued older save is superseded — the
+        # worker skips it (and drops its snapshot) instead of draining a
+        # checkpoint nobody can ever observe
+        self._gen[path] = gen = self._gen.get(path, 0) + 1
+
+        def job():
+            if self._gen.get(path) == gen:
+                _write(path, spec, _fetch(chunks))
+
+        self._q.put(job)
+
+    def save_aux(self, path: str, **arrays) -> None:
+        """Sidecar write, ordered after any pending state save."""
+        from dahpe_tpu.utils import checkpoint as ckpt
+
+        self._raise_pending()
+        host = {k: (None if v is None else np.asarray(jax.device_get(v)))
+                for k, v in arrays.items()}
+        if jax.process_index() != 0:
+            return
+        self._q.put(lambda: ckpt.save_aux(path, **host))
+
+    def run(self, fn) -> None:
+        """Enqueue an arbitrary host-side job (e.g. checkpoint pruning)
+        ordered after every pending save — instead of flushing the queue
+        at the epoch boundary just to sequence it."""
+        self._raise_pending()
+        if jax.process_index() != 0:
+            return
+        self._q.put(fn)
+
+    def link(self, src: str, dst: str) -> None:
+        """Duplicate checkpoint ``src`` at ``dst`` host-side (hardlinked
+        files when the filesystem allows, copies otherwise)."""
+        self._raise_pending()
+        if jax.process_index() != 0:
+            return
+        src, dst = os.path.abspath(src), os.path.abspath(dst)
+
+        def job():
+            tmp = dst + ".tmp_pack"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            shutil.copytree(src, tmp, copy_function=_link_or_copy)
+            old = dst + ".old_pack"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            os.rename(tmp, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+
+        self._q.put(job)
+
+    def flush(self) -> None:
+        self._q.join()
+        self._raise_pending()
+
+
+def _link_or_copy(src: str, dst: str, *, follow_symlinks: bool = True) -> None:
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
