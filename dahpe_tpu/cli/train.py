@@ -494,6 +494,12 @@ def main(args):
         return path
 
     print("Start regression domain adaptation.")
+    # a resume point exists from step 0 on: a preemption before the first
+    # epoch-end save no longer loses the pretrain warm start, and the
+    # background drain warms the device link (the FIRST bulk transfer in a
+    # process runs at the link's slow cold rate — docs/PERF.md; every later
+    # drain, including a SIGTERM's, then runs warm)
+    save_latest()
     if args.profile:
         # steady-state device trace: compile+warm first so the capture holds
         # only real iterations (SURVEY §5: the reference has no profiler)

@@ -139,6 +139,37 @@ def test_async_saver_snapshot_is_donation_safe(tmp_path):
     assert_trees_equal(expect, restored)
 
 
+def test_async_saver_same_path_supersession(tmp_path):
+    """Saves to one path that outpace the worker: the newest generation
+    wins; a superseded generation is only abandoned once a completed
+    checkpoint exists (durability before freshness)."""
+    import threading
+
+    saver = fast_ckpt.AsyncSaver(max_pending=8)
+    p = str(tmp_path / "latest")
+    template = jax.tree.map(jnp.zeros_like, small_tree())
+
+    gate = threading.Event()
+    saver.run(gate.wait)  # hold the worker so both saves queue up
+    t1 = small_tree()
+    t2 = jax.tree.map(lambda a: a + 1, t1)
+    saver.save(p, t1)  # superseded while queued, but no durable copy yet
+    saver.save(p, t2)
+    gate.set()
+    saver.flush()
+    assert int(ckpt.restore_state(p, template)["step"]) == int(t2["step"])
+
+    gate2 = threading.Event()
+    saver.run(gate2.wait)
+    t3 = jax.tree.map(lambda a: a + 10, t1)
+    t4 = jax.tree.map(lambda a: a + 20, t1)
+    saver.save(p, t3)  # superseded AND a durable copy exists -> abandoned
+    saver.save(p, t4)
+    gate2.set()
+    saver.flush()
+    assert int(ckpt.restore_state(p, template)["step"]) == int(t4["step"])
+
+
 def test_async_saver_surfaces_worker_errors(tmp_path):
     saver = fast_ckpt.AsyncSaver()
     saver.run(lambda: (_ for _ in ()).throw(OSError("disk full")))
