@@ -137,9 +137,12 @@ def save_reference_pth(path: str, variables) -> None:
     """Write a torch ``{'model': state_dict}`` .pth loadable by the reference."""
     import torch
 
+    from dahpe_tpu.utils.fast_ckpt import device_get_packed
     from dahpe_tpu.utils.torch_import import export_torch_state_dict
 
-    state = export_torch_state_dict(jax.device_get(variables))
+    # packed drain: a leaf-per-transfer device_get of a full model costs
+    # 50-150 s through this class of link (docs/PERF.md "Checkpointing")
+    state = export_torch_state_dict(device_get_packed(variables))
     torch.save({"model": {k: torch.from_numpy(v.copy()) for k, v in state.items()}}, path)
 
 

@@ -272,6 +272,32 @@ def load_packed_tree(path: str) -> dict:
     return root
 
 
+def device_get_packed(tree):
+    """``jax.device_get`` through the packed path: ONE jitted concat into
+    ~32 MB chunks + a pipelined drain, instead of a leaf-per-transfer
+    round trip (50-150 s vs ~20-50 s for the flagship state on this
+    link). Returns the same pytree structure with numpy leaves."""
+    if not all(isinstance(l, jax.Array)
+               for l in jax.tree_util.tree_leaves(tree)):
+        return jax.device_get(tree)  # host/mixed trees: nothing to drain
+    spec, chunks = pack_state(tree)
+    for arr in chunks:
+        try:
+            arr.copy_to_host_async()
+        except Exception:
+            pass
+    # no storage view needed: np.asarray of a bf16 device chunk already
+    # yields an ml_dtypes.bfloat16 host array
+    host = [np.asarray(c) for c in chunks]
+    leaves = []
+    for ls in spec["leaves"]:
+        size = int(np.prod(ls["shape"], dtype=np.int64))
+        flat = host[ls["chunk"]][ls["offset"]:ls["offset"] + size]
+        leaves.append(flat.reshape(ls["shape"]))
+    treedef = jax.tree_util.tree_structure(tree)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class AsyncSaver:
     """Overlap checkpoint writes with training.
 
