@@ -44,6 +44,43 @@ def variables_of(state):
     return {"params": state.params, "batch_stats": state.batch_stats}
 
 
+class DivergenceError(RuntimeError):
+    """Training produced a non-finite loss (exit code 3)."""
+
+
+def check_finite(saver, logger, state, step: int, **losses) -> None:
+    """Failure detection: a NaN/inf loss aborts the run instead of
+    training garbage for the rest of the schedule.
+
+    Checked at every ``--print-freq`` display (the loop only fetches
+    metrics there — a per-iteration device sync would gate the whole
+    loop, so detection lags divergence by at most print_freq
+    iterations). The poisoned state is dumped to ``checkpoints/nan_abort``
+    for forensics; ``checkpoints/latest`` is deliberately NOT touched —
+    it still holds the last pre-divergence state, so
+    ``--resume checkpoints/latest`` (e.g. with a lower lr) restarts from
+    good weights. The reference has no equivalent (a NaN there silently
+    burns the remaining epochs)."""
+    import math
+
+    bad = {k: v for k, v in losses.items() if not math.isfinite(v)}
+    if not bad:
+        return
+    path = logger.get_checkpoint_path("nan_abort")
+    if saver is not None:
+        saver.save(path, state)
+        saver.flush()
+    else:
+        ckpt.save_state(path, state)
+    raise DivergenceError(
+        f"non-finite losses at step {step}: "
+        + ", ".join(f"{k}={v}" for k, v in sorted(bad.items()))
+        + f"; diverged state dumped to {path}; checkpoints/latest still "
+        "holds the last pre-divergence state — resume from it (consider "
+        "a lower --lr)"
+    )
+
+
 
 
 def pretrain_phase(args, logger, train_source_loader, val_source_loader,
@@ -124,7 +161,10 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
         for i in range(args.iters_per_epoch):
             state, metrics = run_iteration(state, lr_dev)
             if i % args.print_freq == 0:
-                losses.update(float(metrics["loss_s"]))
+                loss_now = float(metrics["loss_s"])
+                check_finite(saver, logger, state, epoch * args.iters_per_epoch + i,
+                             loss_s=loss_now)
+                losses.update(loss_now)
                 accs.update(float(metrics["acc_s"]))
                 batch_time.update(time.time() - end)
                 progress.display(i)
@@ -545,6 +585,10 @@ def main(args):
             state, metrics, b_s, b_t = run_iteration(state)
             global_step += 1
             if i % args.print_freq == 0:
+                check_finite(saver, logger, state, global_step,
+                             loss_s=float(metrics["loss_s"]),
+                             loss_gf=float(metrics["loss_gf"]),
+                             loss_gt=float(metrics["loss_gt"]))
                 losses_s.update(float(metrics["loss_s"]))
                 losses_gf.update(float(metrics["loss_gf"]))
                 losses_gt.update(float(metrics["loss_gt"]))
@@ -640,4 +684,9 @@ def main(args):
 
 
 if __name__ == "__main__":
-    main(build_parser("train").parse_args())
+    try:
+        main(build_parser("train").parse_args())
+    except DivergenceError as e:
+        print(f"FATAL: {e}")
+        raise SystemExit(3)  # distinct from crashes: retry wants lower lr,
+        #                      not the same command again

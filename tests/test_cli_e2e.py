@@ -275,3 +275,47 @@ def test_test_cli_artifact_eval(tmp_path):
     # exactly one of --checkpoint / --artifact
     with pytest.raises(SystemExit):
         run("logs_bad", [])
+
+
+def test_nan_watchdog_preserves_last_good_checkpoint(tmp_path):
+    """Failure detection: a non-finite loss raises DivergenceError, dumps
+    the poisoned state to checkpoints/nan_abort, and does NOT touch
+    checkpoints/latest (the pre-divergence resume point)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from dahpe_tpu.cli.train import DivergenceError, check_finite
+    from dahpe_tpu.utils import checkpoint as ckpt
+    from dahpe_tpu.utils import fast_ckpt
+
+    ckdir = tmp_path / "checkpoints"
+    ckdir.mkdir()
+
+    class StubLogger:
+        def get_checkpoint_path(self, name):
+            return str(ckdir / str(name))
+
+    logger = StubLogger()
+    saver = fast_ckpt.AsyncSaver()
+    good = {"params": jnp.ones((3,)), "step": jnp.asarray(7, jnp.int32)}
+    saver.save(logger.get_checkpoint_path("latest"), good)
+    saver.flush()
+
+    # finite losses: no-op
+    check_finite(saver, logger, good, 10, loss_s=1.25, loss_gf=0.5)
+
+    poisoned = {"params": jnp.full((3,), jnp.nan), "step": jnp.asarray(9, jnp.int32)}
+    with pytest.raises(DivergenceError, match="loss_s=nan"):
+        check_finite(saver, logger, poisoned, 12,
+                     loss_s=float("nan"), loss_gf=0.5)
+
+    # latest untouched; nan_abort holds the diverged state for forensics
+    latest = ckpt.restore_state(logger.get_checkpoint_path("latest"),
+                                {"params": jnp.zeros((3,)),
+                                 "step": jnp.zeros((), jnp.int32)})
+    assert int(latest["step"]) == 7
+    dumped = ckpt.restore_state(logger.get_checkpoint_path("nan_abort"),
+                                {"params": jnp.zeros((3,)),
+                                 "step": jnp.zeros((), jnp.int32)})
+    assert int(dumped["step"]) == 9 and math.isnan(float(dumped["params"][0]))
