@@ -608,7 +608,7 @@ def main(args):
             budget_done = args.max_steps and global_step >= args.max_steps
             if stop_requested or budget_done:
                 path = save_latest()
-                saver.flush()  # the write must land before the exit
+                saver.close()  # the write must land before the exit
                 why = ("--max-steps reached" if budget_done
                        else "stop requested")
                 print(f"{why} at step {global_step} "
@@ -678,7 +678,7 @@ def main(args):
             **({"val_target_ema": ema_acc["all"]} if args.with_ema else {}),
         )
 
-    saver.flush()
+    saver.close()
     restore_handlers()
     logger.close()
 

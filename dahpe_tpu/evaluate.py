@@ -173,9 +173,13 @@ def validate(
                 image_size=(image_size, image_size),
             )
         out = eval_step(variables, batch)
-        loss_rows = jax.device_get(out["loss_per_sample"])[:n_real]
+        # ONE fetch for both metrics: each device_get pays the link's
+        # ~26 ms round trip, and this runs once per val batch
+        loss_rows, acc_per_joint = jax.device_get(
+            (out["loss_per_sample"], out["acc_per_joint"])
+        )
+        loss_rows = loss_rows[:n_real]
         losses.update(float(loss_rows.mean()), n_real)
-        acc_per_joint = jax.device_get(out["acc_per_joint"])
         group_acc = dataset.group_accuracy(list(acc_per_joint))
         acc.update(group_acc, n_real)
 

@@ -327,6 +327,9 @@ class AsyncSaver:
     def _run(self) -> None:
         while True:
             job = self._q.get()
+            if job is None:  # close() sentinel
+                self._q.task_done()
+                return
             try:
                 if self._error is None:
                     job()
@@ -412,6 +415,15 @@ class AsyncSaver:
 
     def flush(self) -> None:
         self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        """Drain pending jobs and stop the worker thread. The saver is
+        unusable afterwards (further saves would queue forever)."""
+        self._q.join()
+        if self._thread.is_alive():
+            self._q.put(None)
+            self._thread.join()
         self._raise_pending()
 
 
