@@ -68,6 +68,20 @@ def _pow2_bucket(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _pad_target(n: int, compiled_batch: int | None, n_devices: int = 1) -> int:
+    """Rows to pad an ``n``-row request to before dispatch. Fixed-batch
+    artifacts pad to their compiled batch; batch-polymorphic ones to the
+    next power-of-two bucket, rounded up to a multiple of the mesh's device
+    count — ``P('data')`` sharding cannot split e.g. 2 rows over 8 devices,
+    so without the round-up every small request to a ``--mesh`` server
+    would fail with 500 (the bucket set stays bounded: at most one extra
+    program below ``n_devices``)."""
+    if compiled_batch is not None:
+        return compiled_batch
+    target = _pow2_bucket(n)
+    return -(-target // n_devices) * n_devices
+
+
 def build_serve_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="serve an exported artifact over HTTP"
@@ -110,11 +124,13 @@ class _Servable:
             exported = jax_export.deserialize(f.read())
         self.weights = load_artifact_weights(artifact_path + ".weights.npz")
         self.predict = exported.call
+        self.n_devices = 1
         if mesh:
             from dahpe_tpu.parallel.mesh import create_mesh
             from dahpe_tpu.serving import make_mesh_predict
 
             self.predict = make_mesh_predict(exported.call, create_mesh())
+            self.n_devices = len(jax.devices())
 
         aval = exported.in_avals[-1]  # the frame input (weights lead)
         b = aval.shape[0]
@@ -167,7 +183,7 @@ class _Servable:
         predict, return the live rows as numpy ``(coords (n,K,2),
         maxvals (n,K))``."""
         n = frames.shape[0]
-        target = self.batch if self.batch is not None else _pow2_bucket(n)
+        target = _pad_target(n, self.batch, self.n_devices)
         if n < target:
             frames = np.concatenate(
                 [frames, np.zeros((target - n,) + self.frame_shape,

@@ -54,13 +54,14 @@ def check_finite(saver, logger, state, step: int, **losses) -> None:
 
     Checked at every ``--print-freq`` display (the loop only fetches
     metrics there — a per-iteration device sync would gate the whole
-    loop, so detection lags divergence by at most print_freq
-    iterations). The poisoned state is dumped to ``checkpoints/nan_abort``
-    for forensics; ``checkpoints/latest`` is deliberately NOT touched —
-    it still holds the last pre-divergence state, so
-    ``--resume checkpoints/latest`` (e.g. with a lower lr) restarts from
-    good weights. The reference has no equivalent (a NaN there silently
-    burns the remaining epochs)."""
+    loop) AND immediately before every checkpoint write (``--save-every``,
+    the graceful-stop drain, the epoch save), so no persisted checkpoint
+    can ever hold non-finite state no matter where inside a print window
+    divergence began. The poisoned state is dumped to
+    ``checkpoints/nan_abort`` for forensics; ``checkpoints/latest`` keeps
+    its last (finite) contents, so ``--resume checkpoints/latest`` (e.g.
+    with a lower lr) restarts from good weights. The reference has no
+    equivalent (a NaN there silently burns the remaining epochs)."""
     import math
 
     bad = {k: v for k, v in losses.items() if not math.isfinite(v)}
@@ -75,23 +76,41 @@ def check_finite(saver, logger, state, step: int, **losses) -> None:
     raise DivergenceError(
         f"non-finite losses at step {step}: "
         + ", ".join(f"{k}={v}" for k, v in sorted(bad.items()))
-        + f"; diverged state dumped to {path}; checkpoints/latest still "
-        "holds the last pre-divergence state — resume from it (consider "
-        "a lower --lr)"
+        + f"; diverged state dumped to {path}; every checkpoint write is "
+        "finiteness-gated, so checkpoints/latest still holds the last "
+        "pre-divergence state — resume from it (consider a lower --lr)"
     )
+
+
+def da_losses_host(metrics) -> dict:
+    """The DA step's three loss scalars as host floats in ONE transfer
+    (stacked on device first — fetching each ``float()`` separately pays
+    this environment's ~26 ms round trip three times)."""
+    keys = ("loss_s", "loss_gf", "loss_gt")
+    vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
+    return {k: float(v) for k, v in zip(keys, vals)}
 
 
 
 
 def pretrain_phase(args, logger, train_source_loader, val_source_loader,
                    val_source_dataset, *, source_store=None, mesh=None,
-                   saver=None):
+                   saver=None, stop=lambda: None):
     """Supervised source pretraining (``train1.py:158-181``).
 
     With ``source_store`` (a :class:`DeviceDataStore` sharded over ``mesh``)
     the batches come entirely from device memory (on-device gather + fused
     augmentation) and the step runs as a pjit over the mesh; otherwise the
     reference-parity host PIL loader feeds a single-device jitted step.
+
+    ``stop()`` (a signum, or None) is polled at every iteration boundary:
+    the reference pretrain schedule is 70 epochs, so preemption must drain
+    gracefully here too, not only in the DA loop. On a stop the current
+    model variables land in ``checkpoints/pretrain_interrupt`` and the
+    function returns None — the caller exits 0 (container-stop contract)
+    and a later run continues with ``--pretrain`` on that path (epoch
+    schedule restarts; optimizer momentum is not part of a warm start,
+    matching what ``--pretrain`` transfers).
     """
     model = build_model(args, multi_head=False)
     state = create_pretrain_state(
@@ -169,6 +188,21 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
                 batch_time.update(time.time() - end)
                 progress.display(i)
             end = time.time()
+            signum = stop()
+            if signum is not None:
+                path = logger.get_checkpoint_path("pretrain_interrupt")
+                check_finite(saver, logger, state,
+                             epoch * args.iters_per_epoch + i,
+                             loss_s=float(metrics["loss_s"]))
+                if saver is not None:
+                    saver.save(path, variables_of(state))
+                    saver.flush()
+                else:
+                    ckpt.save_state(path, variables_of(state))
+                print(f"signal {signum}: finished the in-flight iteration, "
+                      f"saved {path}, exiting cleanly — continue with "
+                      f"--pretrain {path}")
+                return None
 
         acc = validate(
             val_source_loader, model, variables_of(state), val_source_dataset,
@@ -206,6 +240,52 @@ def main(args):
     # state is ~460 MB and a synchronous drain through a slow device link
     # would stall the loop for tens of seconds per save (docs/PERF.md)
     saver = fast_ckpt.AsyncSaver()
+
+    # Preemption contract (SURVEY §5: the reference has none — recovery is
+    # manual per-epoch --resume): SIGTERM/SIGINT request a graceful stop; the
+    # in-flight iteration finishes, the current state is checkpointed and the
+    # process exits 0 — the preemptible-TPU story, mirroring cli/serve's
+    # drain-on-SIGTERM. Installed BEFORE the pretrain phase so a 70-epoch
+    # pretraining run is covered too (a default SIGTERM would kill the
+    # process mid-TPU-dispatch, which wedges this environment's chip).
+    # --save-every N additionally bounds hard-kill loss to N DA iterations.
+    import signal
+
+    stop_signum: list[int] = []  # handler appends; loops poll at boundaries
+
+    def _request_stop(signum, frame):
+        # flag-only: a print() here can re-enter the buffered writer the
+        # main thread is inside (RuntimeError: reentrant call) and crash
+        # the very drain path this handler exists to protect — the loops
+        # announce the stop at the next iteration boundary instead
+        if stop_signum:
+            # second signal: stop being graceful (e.g. a double ctrl-C
+            # while a long validation sweep delays the iteration boundary)
+            restore_handlers()
+            signal.raise_signal(signum)
+            return
+        stop_signum.append(signum)
+
+    prev_handlers = {
+        s: signal.signal(s, _request_stop)
+        for s in (signal.SIGTERM, signal.SIGINT)
+    }
+
+    def restore_handlers():
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
+
+    # tee + handlers are process-global: un-install them even when a phase
+    # raises (DivergenceError etc.) — an escaped exception must not leave
+    # stdout redirected into the run log
+    try:
+        _run_phases(args, logger, saver, stop_signum)
+    finally:
+        restore_handlers()
+        logger.close()
+
+
+def _run_phases(args, logger, saver, stop_signum):
     print(args)
     random.seed(args.seed)
     np.random.seed(args.seed)
@@ -320,7 +400,11 @@ def main(args):
                 val_source,
                 source_store=stores["source"] if stores else None,
                 mesh=mesh, saver=saver,
+                stop=lambda: stop_signum[0] if stop_signum else None,
             )
+            if pretrain_path is None:  # graceful stop during pretraining
+                saver.close()
+                return
         if pretrain_path is not None:
             variables = variables_of(state)
             if pretrain_path.endswith(".pth"):
@@ -490,37 +574,6 @@ def main(args):
     # checkpoints/best unless it actually beats the pre-crash best
     best_acc = float(resume_aux.get("best_acc", float("-inf")))
 
-    # Preemption contract (SURVEY §5: the reference has none — recovery is
-    # manual per-epoch --resume): SIGTERM/SIGINT request a graceful stop; the
-    # loop finishes the in-flight iteration, writes the 'latest' checkpoint
-    # (full state + stream-key sidecar + watermark) and returns cleanly —
-    # the preemptible-TPU story, mirroring cli/serve's drain-on-SIGTERM.
-    # --save-every N bounds lost work to N iterations even on a hard kill.
-    import signal
-
-    stop_requested = False
-
-    def _request_stop(signum, frame):
-        nonlocal stop_requested
-        if stop_requested:
-            # second signal: stop being graceful (e.g. a double ctrl-C
-            # while a long validation sweep delays the iteration boundary)
-            restore_handlers()
-            signal.raise_signal(signum)
-            return
-        stop_requested = True
-        print(f"signal {signum}: finishing the in-flight iteration, "
-              "saving checkpoints/latest, then exiting cleanly")
-
-    prev_handlers = {
-        s: signal.signal(s, _request_stop)
-        for s in (signal.SIGTERM, signal.SIGINT)
-    }
-
-    def restore_handlers():
-        for s, h in prev_handlers.items():
-            signal.signal(s, h)
-
     def save_latest():
         # closes over the loop's current `state` binding; resuming this
         # checkpoint lands mid-epoch (start_iter above) and, on the
@@ -563,8 +616,6 @@ def main(args):
     if args.max_steps and global_step >= args.max_steps:
         print(f"--max-steps {args.max_steps} already reached "
               f"(step {global_step}); nothing to do")
-        restore_handlers()
-        logger.close()
         return
     for epoch in range(start_epoch, args.epochs):
         logger.set_epoch(epoch)
@@ -606,7 +657,15 @@ def main(args):
                               f"target_{i}_pred")
             end = time.time()
             budget_done = args.max_steps and global_step >= args.max_steps
-            if stop_requested or budget_done:
+            if stop_signum or budget_done:
+                if stop_signum:
+                    print(f"signal {stop_signum[0]}: finished the in-flight "
+                          "iteration, saving checkpoints/latest, then "
+                          "exiting cleanly")
+                # gate: divergence inside the last print window must not be
+                # persisted as the advertised resume point
+                check_finite(saver, logger, state, global_step,
+                             **da_losses_host(metrics))
                 path = save_latest()
                 saver.close()  # the write must land before the exit
                 why = ("--max-steps reached" if budget_done
@@ -614,12 +673,17 @@ def main(args):
                 print(f"{why} at step {global_step} "
                       f"(epoch {epoch} iteration {i}); saved {path} — "
                       f"continue with --resume {path}")
-                restore_handlers()
-                logger.close()
                 return
             if args.save_every and global_step % args.save_every == 0:
+                check_finite(saver, logger, state, global_step,
+                             **da_losses_host(metrics))
                 save_latest()
 
+        # the epoch checkpoint below is finiteness-gated too: divergence in
+        # the final print window of an epoch must not be persisted (or pay
+        # for a validation sweep of NaN predictions)
+        check_finite(saver, logger, state, global_step,
+                     **da_losses_host(metrics))
         src_acc = validate(val_source_loader, model, variables_of(state), val_source,
                            image_size=args.image_size, heatmap_size=args.heatmap_size,
                            print_freq=args.print_freq, eval_step=eval_step)
@@ -679,8 +743,6 @@ def main(args):
         )
 
     saver.close()
-    restore_handlers()
-    logger.close()
 
 
 if __name__ == "__main__":

@@ -45,8 +45,9 @@ def _spawn_cli(args_list, log_path):
         + os.pathsep + env.get("PYTHONPATH", "")
     )
     cmd = [sys.executable, "-m", "dahpe_tpu.cli.train"] + args_list
-    f = open(log_path, "w")
-    return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT, env=env)
+    with open(log_path, "w") as f:  # Popen dups the fd; no leak in the drill
+        return subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
+                                env=env)
 
 
 def run_drill(

@@ -139,7 +139,14 @@ def save_variables_npz(path: str, variables) -> None:
     """Companion weight file for an exported artifact: a plain ``.npz``
     keyed by tree path, loadable with numpy alone — together with the
     StableHLO bytes this is a fully self-contained deployment (no flax, no
-    orbax, no model code on the serving host)."""
+    orbax, no model code on the serving host).
+
+    ``np.savez`` is banned on the checkpoint hot path (CLAUDE.md: ~10-60x
+    slower than ``np.save`` at the 459 MB state size, paid repeatedly per
+    epoch) but is the right call here: export runs once, the file is
+    ≤~50 MB (<1 s measured — zipfile's CRC is the floor; a hand-rolled
+    uncompressed-zip writer measured no faster), and the single-file .npz
+    IS the deployment contract."""
     import numpy as onp
 
     flat, _ = jax.tree_util.tree_flatten_with_path(variables)
@@ -153,7 +160,10 @@ def save_variables_npz(path: str, variables) -> None:
 def save_quantized_npz(path: str, quantized) -> None:
     """Weight file for an int8 artifact: the quantized deployment tree
     (which nests lists — layers/blocks/head stages) flattened to a plain
-    ``.npz``. Int8 weights make it ~4x smaller than the float npz."""
+    ``.npz``. Int8 weights make it ~4x smaller than the float npz.
+    One-shot ≤~12 MB write: ``np.savez`` is fine here for the same reason
+    as :func:`save_variables_npz` (the CLAUDE.md savez ban targets the
+    per-epoch checkpoint path, not exports)."""
     import numpy as onp
 
     flat, _ = jax.tree_util.tree_flatten_with_path(quantized)

@@ -41,7 +41,9 @@ def restore_state(path: str, target):
     from dahpe_tpu.utils import fast_ckpt
 
     path = os.path.abspath(path)
-    if fast_ckpt.is_packed(path):
+    # resolve_packed also finds a checkpoint stranded under .tmp_pack /
+    # .old_pack by a hard kill inside the save's directory swap
+    if fast_ckpt.resolve_packed(path):
         return fast_ckpt.restore_packed(path, target)
     ckptr = _checkpointer()
     return ckptr.restore(path, item=jax.device_get(target))
@@ -126,7 +128,7 @@ def load_model_variables(path: str):
     from dahpe_tpu.utils import fast_ckpt
 
     path = os.path.abspath(path)
-    if fast_ckpt.is_packed(path):
+    if fast_ckpt.resolve_packed(path):
         state = fast_ckpt.load_packed_tree(path)
     else:
         state = _checkpointer().restore(path)

@@ -138,7 +138,13 @@ def _drain_write(path: str, spec: dict, chunks, alive=lambda: True) -> bool:
     window = 2
     tmp = path + ".tmp_pack"
     if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+        # a COMPLETE leftover tmp with no checkpoint at `path` means a crash
+        # landed inside a previous swap window (between the two renames
+        # below): promote it instead of destroying the only copy
+        if is_packed(tmp) and not is_packed(path):
+            os.rename(tmp, path)
+        else:
+            shutil.rmtree(tmp)
     os.makedirs(tmp)
     started = 0
     for i, arr in enumerate(chunks):
@@ -167,6 +173,23 @@ def _drain_write(path: str, spec: dict, chunks, alive=lambda: True) -> bool:
 
 def is_packed(path: str) -> bool:
     return os.path.isfile(os.path.join(path, SPEC_NAME))
+
+
+def resolve_packed(path: str) -> str | None:
+    """The readable packed checkpoint for ``path``, surviving a hard kill
+    inside ``_drain_write``'s directory swap: the two renames (``path`` →
+    ``.old_pack``, ``.tmp_pack`` → ``path``) are not jointly atomic, so a
+    crash in that window leaves the state only under a sibling name.
+    Preference order: ``path`` itself (the advertised checkpoint), then a
+    COMPLETE ``.tmp_pack`` (crash between the renames — it is the newest
+    full write), then ``.old_pack`` (crash after the first rename with an
+    incomplete tmp). ``None`` when no complete checkpoint exists under any
+    of the three names. Completeness == the spec file exists; it is written
+    last, so a partially drained directory never resolves."""
+    for p in (path, path + ".tmp_pack", path + ".old_pack"):
+        if is_packed(p):
+            return p
+    return None
 
 
 def save_packed(path: str, tree) -> None:
@@ -229,7 +252,7 @@ def restore_packed(path: str, target):
     """Restore into ``target``'s structure: one upload per chunk, one
     jitted unpack. The saved per-leaf paths/shapes/dtypes must match the
     template exactly — a mismatch is a hard error, not a silent merge."""
-    path = os.path.abspath(path)
+    path = resolve_packed(os.path.abspath(path)) or os.path.abspath(path)
     spec = _load_spec(path)
     t_spec, _ = _spec_of(target)
     if t_spec["leaves"] != spec["leaves"]:
@@ -257,7 +280,7 @@ def load_packed_tree(path: str) -> dict:
     fields become dict keys — the shape ``cli.test``/``cli.export`` expect
     when they pick ``{params, batch_stats}`` out of a full train state).
     Pure host slicing: no device involved."""
-    path = os.path.abspath(path)
+    path = resolve_packed(os.path.abspath(path)) or os.path.abspath(path)
     spec = _load_spec(path)
     host = _chunk_host_arrays(path, spec)
     root: dict = {}
@@ -374,10 +397,10 @@ class AsyncSaver:
         from dahpe_tpu.utils import checkpoint as ckpt
 
         self._raise_pending()
+        if jax.process_index() != 0:
+            return  # before the fetches: non-zero hosts skip the D2H too
         host = {k: (None if v is None else np.asarray(jax.device_get(v)))
                 for k, v in arrays.items()}
-        if jax.process_index() != 0:
-            return
         self._q.put(lambda: ckpt.save_aux(path, **host))
 
     def run(self, fn) -> None:

@@ -170,6 +170,61 @@ def test_async_saver_same_path_supersession(tmp_path):
     assert int(ckpt.restore_state(p, template)["step"]) == int(t4["step"])
 
 
+def test_restore_survives_crash_inside_swap_window(tmp_path):
+    """_drain_write's directory swap (rename path->old, rename tmp->path)
+    is two renames; a hard kill between them leaves the only copy under a
+    sibling name. resolve_packed must find it so --resume still works."""
+    tree = small_tree()
+    template = jax.tree.map(jnp.zeros_like, tree)
+    p = str(tmp_path / "latest")
+    ckpt.save_state(p, tree)
+
+    # crash between the renames, tmp incomplete: only .old_pack remains
+    os.rename(p, p + ".old_pack")
+    assert fast_ckpt.resolve_packed(p) == p + ".old_pack"
+    assert_trees_equal(tree, ckpt.restore_state(p, template))
+    np.testing.assert_array_equal(
+        ckpt.load_model_variables(p)["params"]["conv"],
+        np.asarray(tree["params"]["conv"]),
+    )
+
+    # crash between the renames with tmp COMPLETE: tmp is the newest full
+    # write and must win over old
+    t2 = jax.tree.map(lambda a: a + 1, tree)
+    tmp2 = str(tmp_path / "t2")
+    ckpt.save_state(tmp2, t2)
+    os.rename(tmp2, p + ".tmp_pack")
+    assert fast_ckpt.resolve_packed(p) == p + ".tmp_pack"
+    assert int(ckpt.restore_state(p, template)["step"]) == int(t2["step"])
+
+    # an INCOMPLETE tmp (no spec file — killed mid-drain) never resolves
+    os.remove(os.path.join(p + ".tmp_pack", fast_ckpt.SPEC_NAME))
+    assert fast_ckpt.resolve_packed(p) == p + ".old_pack"
+
+    # the advertised path always wins when it exists
+    ckpt.save_state(p, t2)
+    assert fast_ckpt.resolve_packed(p) == p
+
+
+def test_next_save_promotes_stranded_tmp_instead_of_destroying_it(tmp_path):
+    """A complete .tmp_pack with no checkpoint at the path (crash inside
+    the swap window) is the ONLY copy; the next save must promote it to
+    the path — not rmtree it — so a second crash mid-drain cannot lose
+    the state entirely."""
+    tree = small_tree()
+    p = str(tmp_path / "latest")
+    ckpt.save_state(p, tree)
+    os.rename(p, p + ".tmp_pack")  # simulate the stranded swap
+
+    # a drain that dies immediately (alive() false before chunk 0) models
+    # the second crash: the promoted checkpoint must survive at `path`
+    spec, chunks = fast_ckpt.pack_state(jax.tree.map(lambda a: a + 1, tree))
+    assert not fast_ckpt._drain_write(p, spec, chunks, alive=lambda: False)
+    assert fast_ckpt.is_packed(p)
+    restored = ckpt.restore_state(p, jax.tree.map(jnp.zeros_like, tree))
+    assert int(restored["step"]) == int(tree["step"])  # the promoted copy
+
+
 def test_async_saver_surfaces_worker_errors(tmp_path):
     saver = fast_ckpt.AsyncSaver()
     saver.run(lambda: (_ for _ in ()).throw(OSError("disk full")))

@@ -112,6 +112,105 @@ def test_max_steps_then_resume_matches_straight_run(tmp_path):
 
 
 @pytest.mark.slow
+def test_save_every_never_persists_a_poisoned_state(tmp_path, monkeypatch):
+    """Every checkpoint write is finiteness-gated: with --print-freq far
+    above --save-every (detection would otherwise lag divergence by a full
+    print window), a loss that goes NaN mid-window must abort at the NEXT
+    save point — leaving checkpoints/latest at the last finite step, never
+    overwritten with poisoned state the abort message tells the user to
+    resume from."""
+    import jax.numpy as jnp
+
+    import dahpe_tpu.train as train_mod
+    from dahpe_tpu.cli.train import DivergenceError
+    from dahpe_tpu.utils import fast_ckpt
+
+    real_factory = train_mod.make_fused_da_iteration
+    calls = {"n": 0}
+
+    def poisoned_factory(*a, **kw):
+        fused = real_factory(*a, **kw)
+
+        def wrapper(state, key_s, key_t):
+            state, metrics, key_s, key_t = fused(state, key_s, key_t)
+            calls["n"] += 1
+            if calls["n"] >= 3:  # diverge at the third iteration
+                metrics = dict(metrics)
+                metrics["loss_s"] = metrics["loss_s"] * jnp.nan
+            return state, metrics, key_s, key_t
+
+        return wrapper
+
+    monkeypatch.setattr(train_mod, "make_fused_da_iteration",
+                        poisoned_factory)
+    with pytest.raises(DivergenceError, match="loss_s=nan"):
+        train_cli.main(build_parser("train").parse_args(
+            _base_args(tmp_path, "logs_nan")
+            + ["--save-every", "1", "--print-freq", "1000"]
+        ))
+    ckdir = str(tmp_path / "logs_nan" / "checkpoints")
+    # latest = the step-2 save (the last finite one); step 3 never landed
+    latest = fast_ckpt.load_packed_tree(os.path.join(ckdir, "latest"))
+    assert int(latest["step"][()]) == 2
+    for leaf in jax.tree.leaves(latest["params"]):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
+    # the poisoned state went to nan_abort for forensics
+    dumped = fast_ckpt.load_packed_tree(os.path.join(ckdir, "nan_abort"))
+    assert int(dumped["step"][()]) == 3
+
+
+@pytest.mark.slow
+def test_sigterm_during_pretrain_drains_and_exits_zero(tmp_path):
+    """The preemption contract covers the pretrain phase too (the reference
+    schedule is 70 pretrain epochs): SIGTERM mid-pretraining finishes the
+    in-flight iteration, saves checkpoints/pretrain_interrupt, exits 0."""
+    make_rhd_fixture(str(tmp_path / "rhd"), n=6,
+                     sets=("training", "evaluation"))
+    make_h3d_fixture(str(tmp_path / "h3d"), n=20)
+    log_dir = str(tmp_path / "logs")
+    argv = [
+        str(tmp_path / "h3d"), "--source_root", str(tmp_path / "rhd"),
+        "-t", "Hand3DStudio", "-a", "resnet18", "-b", "2",
+        "--pretrain-epochs", "1", "--epochs", "1", "-i", "100000",
+        "--workers", "2", "--log", log_dir, "--print-freq", "1",
+        "--image-size", "64", "--heatmap-size", "16",
+        "--device-store", "--decoded-cache", str(tmp_path / "cache"),
+    ]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO_ROOT
+    code = (
+        "import sys, jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "from dahpe_tpu.cli.args import build_parser\n"
+        "from dahpe_tpu.cli.train import main\n"
+        "main(build_parser('train').parse_args(sys.argv[1:]))\n"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", code, *argv], env=env)
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if os.path.isdir(log_dir) and "Epoch: [0]" in _log_text(log_dir):
+                break  # pretrain loop is iterating (DA is 100k iters away)
+            assert proc.poll() is None, "train CLI died before iterating"
+            time.sleep(1.0)
+        else:
+            pytest.fail("train CLI never reached the pretrain loop")
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=300) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    interrupt = os.path.join(log_dir, "checkpoints", "pretrain_interrupt")
+    assert os.path.isdir(interrupt)
+    v = ckpt.load_model_variables(interrupt)
+    assert "params" in v and "batch_stats" in v
+    text = _log_text(log_dir)
+    assert "saved" in text and "pretrain_interrupt" in text
+    assert "continue with --pretrain" in text
+
+
+@pytest.mark.slow
 def test_sigterm_saves_latest_and_exits_zero(tmp_path):
     """A real SIGTERM to the train CLI process: the in-flight iteration
     completes, checkpoints/latest lands, exit code is 0 (container-stop /

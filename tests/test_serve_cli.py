@@ -350,6 +350,47 @@ def test_serve_cli_pow2_bucketing(tmp_path):
         server.server_close()
 
 
+def test_pad_target_respects_mesh_divisibility():
+    """Polymorphic padding must round up to a multiple of the mesh's device
+    count: P('data') cannot shard 2 rows over 8 devices, so without the
+    round-up every small request to a --mesh server would 500."""
+    from dahpe_tpu.cli.serve import _pad_target
+
+    assert _pad_target(5, 8, 1) == 8        # fixed batch always wins
+    assert _pad_target(3, None, 1) == 4     # plain pow2 bucket
+    assert _pad_target(1, None, 8) == 8     # meshed: at least one row/device
+    assert _pad_target(2, None, 8) == 8
+    assert _pad_target(9, None, 8) == 16    # pow2 >= devices already divides
+    assert _pad_target(5, None, 6) == 12    # non-pow2 device counts too
+
+
+def test_serve_cli_mesh_small_polymorphic_request(tmp_path):
+    """A --mesh server with a batch-polymorphic artifact must serve requests
+    smaller than the device count (padding rounds up to the mesh size);
+    results equal the unmeshed direct call on the live rows."""
+    from dahpe_tpu.cli.serve import build_serve_parser, create_server
+    from dahpe_tpu.serving import load_artifact_weights, load_predict_file
+
+    artifact = _export_artifact(tmp_path, None)  # polymorphic, float32
+    server = create_server(build_serve_parser().parse_args(
+        [artifact, "--port", "0", "--mesh"]
+    ))
+    try:
+        servable = server.servable
+        assert servable.n_devices == len(jax.devices())
+        rng = np.random.default_rng(3)
+        frames = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        out = servable.run(frames)  # 2 rows over 8 devices: pad to 8
+        coords = np.asarray(out["coords"])
+        assert coords.shape == (2, 21, 2)
+        predict = load_predict_file(artifact)
+        weights = load_artifact_weights(artifact + ".weights.npz")
+        coords_direct, _ = predict(weights, frames)
+        np.testing.assert_array_equal(coords, np.asarray(coords_direct))
+    finally:
+        server.server_close()
+
+
 def test_serve_cli_dispatch_error_is_500(tmp_path):
     """A device-dispatch failure on a WELL-FORMED request answers 500, not
     400 — client retry logic keys on 4xx-vs-5xx, and a valid request must
