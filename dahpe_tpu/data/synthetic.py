@@ -40,19 +40,42 @@ _FINGER_LENGTH = (0.80, 1.00, 1.05, 1.00, 0.90)
 _JOINT_RADII = (0.14, 0.23, 0.31, 0.38)
 
 
-def _hand_geometry(rng: np.random.Generator, size: int) -> np.ndarray:
-    """21 keypoints (Hand21 order) for one sample, in pixel coordinates."""
+def _hand_geometry(rng: np.random.Generator, size: int,
+                   content: float = 0.0) -> np.ndarray:
+    """21 keypoints (Hand21 order) for one sample, in pixel coordinates.
+
+    ``content`` in [0, 1] moves the POSE DISTRIBUTION itself away from the
+    source process (a *content* shift, the regime of the reference's
+    RHD→H3D/STB gap where synthetic and real hands differ in shape/pose
+    statistics, ``rendered_hand_pose.py:128-162`` vs ``hand_3d_studio.py:63-75``),
+    not just the appearance:
+
+    - global orientation biased by ``+45°·content`` — partially outside the
+      train-time RandomRotation(±30°) envelope;
+    - per-joint angular drift shifted by ``+14°·content`` per joint:
+      strongly CURLED fingers, a pose family the source never produces and
+      no augmentation can synthesize;
+    - fingers ``+12%·content`` longer and the fan ``-35%·content``
+      compressed (different hand-shape statistics).
+
+    At ``content=0`` every expression reduces bit-identically to the r3
+    source process (adds/multiplies by exact 0.0/1.0, same rng draws).
+    """
     c = float(size)
-    wrist = np.asarray([0.5, 0.62]) * c + rng.uniform(-0.06, 0.06, 2) * c
-    theta0 = np.deg2rad(rng.uniform(-35.0, 35.0))
+    t = float(content)
+    wrist = (
+        np.asarray([0.5, 0.62 - 0.05 * t]) * c
+        + rng.uniform(-0.06, 0.06, 2) * c
+    )
+    theta0 = np.deg2rad(rng.uniform(-35.0, 35.0) + 45.0 * t)
     kp = np.empty((21, 2), np.float64)
     kp[0] = wrist
     for f in range(5):
         ang = theta0 + np.deg2rad(
-            _FINGER_ANGLES[f] + rng.uniform(-6.0, 6.0)
+            _FINGER_ANGLES[f] * (1.0 - 0.35 * t) + rng.uniform(-6.0, 6.0)
         )
-        drift = np.deg2rad(rng.uniform(-5.0, 5.0))
-        length = _FINGER_LENGTH[f] * rng.uniform(0.92, 1.08)
+        drift = np.deg2rad(rng.uniform(-5.0, 5.0) + 14.0 * t)
+        length = _FINGER_LENGTH[f] * rng.uniform(0.92, 1.08) * (1.0 + 0.12 * t)
         for j in range(4):
             a = ang + drift * j
             r = _JOINT_RADII[j] * length * c
@@ -60,14 +83,28 @@ def _hand_geometry(rng: np.random.Generator, size: int) -> np.ndarray:
             kp[1 + 4 * f + j] = wrist + r * np.asarray(
                 [np.sin(a), -np.cos(a)]
             )
+    if t > 0.0:
+        # longer+tilted shifted hands can graze the canvas edge; keep every
+        # keypoint renderable (labels always match the render)
+        np.clip(kp, 0.03 * c, 0.97 * c, out=kp)
     return kp
 
 
-def _render_mask(kp: np.ndarray, size: int, rng: np.random.Generator):
-    """Anti-aliased stroke+dot coverage mask in [0, 1] for the skeleton."""
+def _render_mask(kp: np.ndarray, size: int, rng: np.random.Generator,
+                 style: float = 0.0):
+    """Anti-aliased stroke+dot coverage mask in [0, 1] for the skeleton.
+
+    ``style`` in [0, 1] is the rendering-STYLE half of the content shift:
+    strokes thin by ``-40%·style`` and the joint dots shrink from 1.5× the
+    stroke width toward 0.8× (at ``style=1`` the dots dissolve into the
+    stroke — joint identity must be read from stroke geometry alone, a
+    different low-level feature statistic than the source's dotted look).
+    ``style=0`` is bit-identical to the r3 renderer.
+    """
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     mask = np.zeros((size, size), np.float32)
-    thick = 0.016 * size
+    thick = 0.016 * size * (1.0 - 0.40 * style)
+    dot_factor = 1.5 - 0.7 * style
 
     def _segment(p, q):
         d = q - p
@@ -85,7 +122,7 @@ def _render_mask(kp: np.ndarray, size: int, rng: np.random.Generator):
     for i in range(21):
         dist = np.hypot(xx - kp[i, 0], yy - kp[i, 1])
         np.maximum(
-            mask, np.exp(-((dist / (1.5 * thick)) ** 2)), out=mask
+            mask, np.exp(-((dist / (dot_factor * thick)) ** 2)), out=mask
         )
     return np.clip(mask, 0.0, 1.0)
 
@@ -101,7 +138,7 @@ def _low_freq_noise(rng: np.random.Generator, size: int, cells: int = 8):
 
 
 def render_sample(index: int, *, domain: str, seed: int, size: int = CANVAS,
-                  shift: float = 1.0):
+                  shift: float = 1.0, content: float = 0.0):
     """(image uint8 (size,size,3), keypoint2d (21,2) float32) for one index.
 
     Both domains share the geometry process; only the appearance differs:
@@ -118,14 +155,22 @@ def render_sample(index: int, *, domain: str, seed: int, size: int = CANVAS,
     degenerate regime pseudo-label DA cannot bootstrap from. Real
     synthetic→real gaps (RHD→H3D) leave the source model partially
     competent; the acceptance experiment uses a calibrated moderate shift.
+
+    ``content`` scales a GEOMETRY/STYLE shift of the target domain (see
+    :func:`_hand_geometry` / :func:`_render_mask`): the target's pose
+    statistics and stroke rendering move away from the source's, the way
+    real hands differ from rendered ones in *content* rather than just
+    photometry. Source renders ignore it; ``content=0`` reproduces the r3
+    renders bit-identically.
     """
     geo_rng = np.random.default_rng((seed, 17, index))
     # NOT hash(): Python string hashing is per-process randomized, and the
     # render must be bit-identical across loader workers/hosts
     domain_id = {"source": 0, "target": 1}.get(domain, 2)
     app_rng = np.random.default_rng((seed, 31, index, domain_id))
-    kp = _hand_geometry(geo_rng, size)
-    mask = _render_mask(kp, size, geo_rng)
+    t = float(content) if domain == "target" else 0.0
+    kp = _hand_geometry(geo_rng, size, content=t)
+    mask = _render_mask(kp, size, geo_rng, style=t)
 
     def _source_img(rng):
         bg = 35.0 + 18.0 * rng.standard_normal((size, size, 1))
@@ -172,20 +217,21 @@ class SyntheticHands(Hand21KeypointDataset):
     @property
     def cache_identity(self):
         """Extra :mod:`~dahpe_tpu.data.cache` identity: content depends on
-        (domain, seed, shift), not on any filesystem root."""
+        (domain, seed, shift, content), not on any filesystem root."""
         return {"domain": self.domain, "seed": self.seed,
-                "shift": self.shift}
+                "shift": self.shift, "content": self.content}
 
     def __init__(self, root: str = "", *, domain: str = "source",
                  split: str = "train", n: int = 512, seed: int = 0,
-                 shift: float = 1.0, transforms=None, image_size=(64, 64),
-                 heatmap_size=(16, 16), **kwargs):
+                 shift: float = 1.0, content: float = 0.0, transforms=None,
+                 image_size=(64, 64), heatmap_size=(16, 16), **kwargs):
         if domain not in ("source", "target"):
             raise ValueError(f"unknown domain {domain!r}")
         self.domain = domain
         self.split = split
         self.seed = int(seed)
         self.shift = float(shift)
+        self.content = float(content)
         base = 1_000_000 if split == "test" else 0
         samples = [base + i for i in range(n)]
         super().__init__(root, samples, transforms=transforms,
@@ -195,7 +241,7 @@ class SyntheticHands(Hand21KeypointDataset):
     def _crop_raw(self, index: int):
         img, kp = render_sample(
             self.samples[index], domain=self.domain, seed=self.seed,
-            shift=self.shift,
+            shift=self.shift, content=self.content,
         )
         intrinsic = np.asarray(
             [[CANVAS, 0, CANVAS / 2], [0, CANVAS, CANVAS / 2], [0, 0, 1]],
@@ -242,7 +288,10 @@ class SyntheticHandsTarget(SyntheticHands):
     occupy and the one pseudo-label DA can bootstrap from; at 1.0 the
     polarity-inverting shift zeroes the source model out entirely).
     Override per run with ``DAHPE_SYNTH_SHIFT`` (the CLI has no flag for a
-    dataset-specific knob).
+    dataset-specific knob); ``DAHPE_SYNTH_CONTENT`` likewise sets the
+    geometry/style *content* shift (default 0 = photometric-only, the r3
+    acceptance setting; docs/ACCURACY.md's content-shift study calibrates
+    the non-zero regime).
     """
 
     def __init__(self, root: str = "", **kwargs):
@@ -251,5 +300,8 @@ class SyntheticHandsTarget(SyntheticHands):
         kwargs.setdefault("n", 256 if kwargs.get("split") == "test" else 2048)
         kwargs.setdefault(
             "shift", float(os.environ.get("DAHPE_SYNTH_SHIFT", "0.4"))
+        )
+        kwargs.setdefault(
+            "content", float(os.environ.get("DAHPE_SYNTH_CONTENT", "0"))
         )
         super().__init__(root, domain="target", **kwargs)

@@ -58,6 +58,7 @@ def run_adaptation_experiment(
     scale_range=(0.75, 1.25),
     raw_size: int = 96,
     shift: float = 0.4,
+    content: float = 0.0,
     seed: int = 0,
     with_ema: bool = True,
     bf16: bool = False,
@@ -108,11 +109,11 @@ def run_adaptation_experiment(
               heatmap_size=(heatmap_size,) * 2)
     src_train = SyntheticHands(domain="source", split="train", **mk)
     tgt_train = SyntheticHands(domain="target", split="train", shift=shift,
-                               **mk)
+                               content=content, **mk)
     mkv = dict(mk, n=n_val)
     src_val = SyntheticHands(domain="source", split="test", **mkv)
     tgt_val = SyntheticHands(domain="target", split="test", shift=shift,
-                             **mkv)
+                             content=content, **mkv)
 
     src_store = DeviceDataStore(src_train, mesh=mesh, raw_size=raw_size,
                                 verbose=False)
@@ -228,6 +229,8 @@ def run_adaptation_experiment(
                 f"target PCK {pck:.3f}")
     pck_da = curve[-1][1]
     result = {
+        "shift": float(shift),
+        "content": float(content),
         "source_val": float(pck_src),
         "pretrain": float(pck_pretrain),
         "source_only": float(pck_source_only),
@@ -264,6 +267,9 @@ if __name__ == "__main__":
     p.add_argument("--heatmap-size", type=int, default=32)
     p.add_argument("--raw-size", type=int, default=160)
     p.add_argument("--shift", type=float, default=0.4)
+    p.add_argument("--content", type=float, default=0.0,
+                   help="geometry/style content-shift strength of the "
+                        "target domain (docs/ACCURACY.md content study)")
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -274,7 +280,7 @@ if __name__ == "__main__":
         arch=a.arch, pre_iters=a.pre_iters, da_iters=a.da_iters,
         batch=a.batch, n_train=a.n_train, image_size=a.image_size,
         heatmap_size=a.heatmap_size, raw_size=a.raw_size, shift=a.shift,
-        eval_every=a.eval_every, bf16=a.bf16, seed=a.seed,
+        content=a.content, eval_every=a.eval_every, bf16=a.bf16, seed=a.seed,
     )
     if a.json:
         with open(a.json, "w") as f:
