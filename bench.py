@@ -556,6 +556,17 @@ def bench_serving(batch: int = 96, int8: bool = False,
     )
 
 
+def parse_flagged_args(rest: list[str], default_batch: int) -> int:
+    """First integer in ``rest`` (any position) or ``default_batch``.
+
+    The batch int and word flags may come in either order (``e2e 32 unfused``
+    and ``e2e unfused 32`` both work); non-numeric args must never crash the
+    parse (ADVICE r2 — regression-guarded by tests/test_bench_parsing.py).
+    """
+    nums = [int(a) for a in rest if a.lstrip("-").isdigit()]
+    return nums[0] if nums else default_batch
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -565,9 +576,8 @@ def main() -> None:
     _enable_compile_cache()
     if len(sys.argv) > 1 and sys.argv[1] == "serve":
         rest = sys.argv[2:]
-        nums = [int(a) for a in rest if a.lstrip("-").isdigit()]
         bench_serving(
-            nums[0] if nums else 96, int8="int8" in rest,
+            parse_flagged_args(rest, 96), int8="int8" in rest,
             glue="float32" if "f32glue" in rest else "bfloat16",
         )
         return
@@ -590,9 +600,8 @@ def main() -> None:
         # flags and the batch int may come in either order
         # (`e2e 32 unfused` and `e2e unfused` both work)
         rest = sys.argv[2:]
-        nums = [int(a) for a in rest if a.lstrip("-").isdigit()]
         bench_train_e2e(
-            nums[0] if nums else 32,
+            parse_flagged_args(rest, 32),
             fused="unfused" not in rest,
         )
         return

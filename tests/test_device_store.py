@@ -184,3 +184,21 @@ def test_eval_loader_matches_host_validation(cache, tmp_path):
     assert set(host_acc) == set(dev_acc)
     for k in host_acc:
         np.testing.assert_allclose(dev_acc[k], host_acc[k], atol=1e-6, err_msg=k)
+
+
+def test_multihost_rejects_multiaxis_mesh(cache, monkeypatch):
+    """ADVICE r2 regression guard: the raveled-device-index → row-range
+    assignment in the multi-host upload is only correct on a 1-D mesh; a
+    multi-axis mesh must be rejected loudly (device_store.py 1-D-mesh guard),
+    not silently shard rows onto replica axes."""
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="1-D mesh"):
+        DeviceDataStore(cache, mesh=mesh, verbose=False)
+    # replicated stores (shard_samples=False) are exempt: every device holds
+    # every row, so the mesh shape is irrelevant — must NOT raise.
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    DeviceDataStore(cache, mesh=mesh, shard_samples=False, verbose=False)
