@@ -10,6 +10,7 @@ one jitted SPMD step over the device mesh.
 from __future__ import annotations
 
 import math
+import os
 import random
 import time
 
@@ -228,12 +229,45 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
     return pretrain_path
 
 
+def _stop_consensus(stop_signum) -> int | None:
+    """Multihost-safe graceful-stop check, polled at iteration boundaries.
+
+    The drain path (``save_latest`` → ``fast_ckpt.save_packed``) is a
+    COLLECTIVE — every process runs the pack program — so all processes must
+    agree to drain at the SAME iteration. SIGTERM delivery can straddle an
+    iteration boundary across hosts; a purely local flag check would have
+    one process enter the save while its peers launch the next training
+    step, deadlocking both (caught by the 2-process CLI rehearsal in
+    tests/test_multihost.py). The local flag is therefore OR-reduced across
+    processes (max of signums) each iteration. Single-process runs take the
+    plain local check — no collective, no host sync, zero cost.
+    """
+    local = stop_signum[0] if stop_signum else 0
+    if jax.process_count() == 1:
+        return local or None
+    from jax.experimental import multihost_utils
+
+    agreed = int(np.max(multihost_utils.process_allgather(np.int32(local))))
+    return agreed or None
+
+
 def main(args):
     from dahpe_tpu.cli.common import enable_compile_cache
 
     enable_compile_cache()
     if getattr(args, "multihost", False):
-        jax.distributed.initialize()
+        # Explicit coordinator config via env (torchrun-style) for clusters
+        # jax's auto-detection doesn't know (and for the 2-process CPU
+        # rehearsal in tests/test_multihost.py); on TPU pods the no-arg
+        # call auto-detects everything.
+        kw = {}
+        if os.environ.get("DAHPE_COORDINATOR"):
+            kw = dict(
+                coordinator_address=os.environ["DAHPE_COORDINATOR"],
+                num_processes=int(os.environ["DAHPE_NUM_PROCESSES"]),
+                process_id=int(os.environ["DAHPE_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
     logger = RunLogger(args.log, args.phase)
     # checkpoint writes drain on a worker thread behind the next epoch's
     # compute (a concurrent D2H measured zero step slowdown): the flagship
@@ -400,7 +434,7 @@ def _run_phases(args, logger, saver, stop_signum):
                 val_source,
                 source_store=stores["source"] if stores else None,
                 mesh=mesh, saver=saver,
-                stop=lambda: stop_signum[0] if stop_signum else None,
+                stop=lambda: _stop_consensus(stop_signum),
             )
             if pretrain_path is None:  # graceful stop during pretraining
                 saver.close()
@@ -657,9 +691,10 @@ def _run_phases(args, logger, saver, stop_signum):
                               f"target_{i}_pred")
             end = time.time()
             budget_done = args.max_steps and global_step >= args.max_steps
-            if stop_signum or budget_done:
-                if stop_signum:
-                    print(f"signal {stop_signum[0]}: finished the in-flight "
+            stop_sig = _stop_consensus(stop_signum)
+            if stop_sig or budget_done:
+                if stop_sig:
+                    print(f"signal {stop_sig}: finished the in-flight "
                           "iteration, saving checkpoints/latest, then "
                           "exiting cleanly")
                 # gate: divergence inside the last print window must not be

@@ -138,7 +138,8 @@ def _low_freq_noise(rng: np.random.Generator, size: int, cells: int = 8):
 
 
 def render_sample(index: int, *, domain: str, seed: int, size: int = CANVAS,
-                  shift: float = 1.0, content: float = 0.0):
+                  shift: float = 1.0, content: float = 0.0,
+                  style: float | None = None):
     """(image uint8 (size,size,3), keypoint2d (21,2) float32) for one index.
 
     Both domains share the geometry process; only the appearance differs:
@@ -156,21 +157,27 @@ def render_sample(index: int, *, domain: str, seed: int, size: int = CANVAS,
     synthetic→real gaps (RHD→H3D) leave the source model partially
     competent; the acceptance experiment uses a calibrated moderate shift.
 
-    ``content`` scales a GEOMETRY/STYLE shift of the target domain (see
-    :func:`_hand_geometry` / :func:`_render_mask`): the target's pose
-    statistics and stroke rendering move away from the source's, the way
-    real hands differ from rendered ones in *content* rather than just
-    photometry. Source renders ignore it; ``content=0`` reproduces the r3
-    renders bit-identically.
+    ``content`` scales a GEOMETRY shift of the target domain (see
+    :func:`_hand_geometry`): the target's POSE DISTRIBUTION moves away from
+    the source's — a label shift, the regime where marginal feature
+    alignment is theoretically harmful. ``style`` scales the rendering-STYLE
+    shift (:func:`_render_mask`: thin strokes, dissolving joint dots) — a
+    low-level appearance shift with UNCHANGED pose statistics, the regime
+    the reference's synthetic→real problem mostly occupies. ``style=None``
+    couples it to ``content`` (the combined geometry+style shift of the
+    docs/ACCURACY.md content study). Source renders ignore both;
+    ``content=0`` reproduces the r3 renders bit-identically.
     """
     geo_rng = np.random.default_rng((seed, 17, index))
     # NOT hash(): Python string hashing is per-process randomized, and the
     # render must be bit-identical across loader workers/hosts
     domain_id = {"source": 0, "target": 1}.get(domain, 2)
     app_rng = np.random.default_rng((seed, 31, index, domain_id))
-    t = float(content) if domain == "target" else 0.0
+    is_target = domain == "target"
+    t = float(content) if is_target else 0.0
+    s = t if style is None else (float(style) if is_target else 0.0)
     kp = _hand_geometry(geo_rng, size, content=t)
-    mask = _render_mask(kp, size, geo_rng, style=t)
+    mask = _render_mask(kp, size, geo_rng, style=s)
 
     def _source_img(rng):
         bg = 35.0 + 18.0 * rng.standard_normal((size, size, 1))
@@ -219,11 +226,13 @@ class SyntheticHands(Hand21KeypointDataset):
         """Extra :mod:`~dahpe_tpu.data.cache` identity: content depends on
         (domain, seed, shift, content), not on any filesystem root."""
         return {"domain": self.domain, "seed": self.seed,
-                "shift": self.shift, "content": self.content}
+                "shift": self.shift, "content": self.content,
+                "style": self.style}
 
     def __init__(self, root: str = "", *, domain: str = "source",
                  split: str = "train", n: int = 512, seed: int = 0,
-                 shift: float = 1.0, content: float = 0.0, transforms=None,
+                 shift: float = 1.0, content: float = 0.0,
+                 style: float | None = None, transforms=None,
                  image_size=(64, 64), heatmap_size=(16, 16), **kwargs):
         if domain not in ("source", "target"):
             raise ValueError(f"unknown domain {domain!r}")
@@ -232,6 +241,7 @@ class SyntheticHands(Hand21KeypointDataset):
         self.seed = int(seed)
         self.shift = float(shift)
         self.content = float(content)
+        self.style = None if style is None else float(style)
         base = 1_000_000 if split == "test" else 0
         samples = [base + i for i in range(n)]
         super().__init__(root, samples, transforms=transforms,
@@ -241,7 +251,7 @@ class SyntheticHands(Hand21KeypointDataset):
     def _crop_raw(self, index: int):
         img, kp = render_sample(
             self.samples[index], domain=self.domain, seed=self.seed,
-            shift=self.shift, content=self.content,
+            shift=self.shift, content=self.content, style=self.style,
         )
         intrinsic = np.asarray(
             [[CANVAS, 0, CANVAS / 2], [0, CANVAS, CANVAS / 2], [0, 0, 1]],
@@ -304,4 +314,7 @@ class SyntheticHandsTarget(SyntheticHands):
         kwargs.setdefault(
             "content", float(os.environ.get("DAHPE_SYNTH_CONTENT", "0"))
         )
+        env_style = os.environ.get("DAHPE_SYNTH_STYLE")
+        if env_style is not None:
+            kwargs.setdefault("style", float(env_style))
         super().__init__(root, domain="target", **kwargs)

@@ -59,6 +59,7 @@ def run_adaptation_experiment(
     raw_size: int = 96,
     shift: float = 0.4,
     content: float = 0.0,
+    style: float | None = None,
     seed: int = 0,
     with_ema: bool = True,
     bf16: bool = False,
@@ -77,7 +78,7 @@ def run_adaptation_experiment(
     from dahpe_tpu.data.device_store import DeviceDataStore
     from dahpe_tpu.data.synthetic import SyntheticHands
     from dahpe_tpu.evaluate import make_eval_step
-    from dahpe_tpu.models.resnet import Bottleneck
+    from dahpe_tpu.models.resnet import BasicBlock, Bottleneck
     from dahpe_tpu.parallel import create_mesh, replicate
     from dahpe_tpu.train import (
         create_da_state,
@@ -109,11 +110,11 @@ def run_adaptation_experiment(
               heatmap_size=(heatmap_size,) * 2)
     src_train = SyntheticHands(domain="source", split="train", **mk)
     tgt_train = SyntheticHands(domain="target", split="train", shift=shift,
-                               content=content, **mk)
+                               content=content, style=style, **mk)
     mkv = dict(mk, n=n_val)
     src_val = SyntheticHands(domain="source", split="test", **mkv)
     tgt_val = SyntheticHands(domain="target", split="test", shift=shift,
-                             content=content, **mkv)
+                             content=content, style=style, **mkv)
 
     src_store = DeviceDataStore(src_train, mesh=mesh, raw_size=raw_size,
                                 verbose=False)
@@ -131,6 +132,12 @@ def run_adaptation_experiment(
     def make_backbone():
         if arch == "mini":
             return models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1],
+                                 dtype=dtype)
+        if arch == "micro":
+            # BasicBlock keeps the stage widths at 64..512 (no 4x Bottleneck
+            # expansion): ~20x cheaper than 'mini' end to end — sized for the
+            # CPU-runnable adaptation margin guard (tests/test_adaptation.py)
+            return models.ResNet(block=BasicBlock, layers=[1, 1, 1, 1],
                                  dtype=dtype)
         return models.get_backbone(arch, dtype=dtype)
 
@@ -231,6 +238,7 @@ def run_adaptation_experiment(
     result = {
         "shift": float(shift),
         "content": float(content),
+        "style": float(content if style is None else style),
         "source_val": float(pck_src),
         "pretrain": float(pck_pretrain),
         "source_only": float(pck_source_only),
@@ -268,8 +276,12 @@ if __name__ == "__main__":
     p.add_argument("--raw-size", type=int, default=160)
     p.add_argument("--shift", type=float, default=0.4)
     p.add_argument("--content", type=float, default=0.0,
-                   help="geometry/style content-shift strength of the "
-                        "target domain (docs/ACCURACY.md content study)")
+                   help="geometry (pose-distribution) shift strength of "
+                        "the target domain (docs/ACCURACY.md content study)")
+    p.add_argument("--style", type=float, default=None,
+                   help="rendering-style shift strength; default couples "
+                        "it to --content")
+    p.add_argument("--da-lr", type=float, default=0.01)
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -280,7 +292,8 @@ if __name__ == "__main__":
         arch=a.arch, pre_iters=a.pre_iters, da_iters=a.da_iters,
         batch=a.batch, n_train=a.n_train, image_size=a.image_size,
         heatmap_size=a.heatmap_size, raw_size=a.raw_size, shift=a.shift,
-        content=a.content, eval_every=a.eval_every, bf16=a.bf16, seed=a.seed,
+        content=a.content, style=a.style, da_lr=a.da_lr,
+        eval_every=a.eval_every, bf16=a.bf16, seed=a.seed,
     )
     if a.json:
         with open(a.json, "w") as f:

@@ -41,6 +41,7 @@ def run_calibration(
     raw_size: int = 160,
     shifts=(0.0, 0.3),
     contents=(0.0, 0.3, 0.5, 0.7, 1.0),
+    style=None,
     seed: int = 0,
     bf16: bool = False,
     verbose: bool = True,
@@ -120,8 +121,10 @@ def run_calibration(
     for shift in shifts:
         for content in contents:
             pck = _pck(SyntheticHands(domain="target", split="test",
-                                      shift=shift, content=content, **mkv))
+                                      shift=shift, content=content,
+                                      style=style, **mkv))
             grid.append({"shift": float(shift), "content": float(content),
+                         "style": float(content if style is None else style),
                          "pck": pck})
             log(f"  shift={shift:<4} content={content:<4} "
                 f"source-only target PCK {pck:.3f}")
@@ -142,13 +145,16 @@ if __name__ == "__main__":
     p.add_argument("--shifts", type=_floats, default=(0.0, 0.3))
     p.add_argument("--contents", type=_floats,
                    default=(0.0, 0.3, 0.5, 0.7, 1.0))
+    p.add_argument("--style", type=float, default=None,
+                   help="fixed rendering-style shift; default couples it "
+                        "to each content value")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--json", default=None)
     a = p.parse_args()
     r = run_calibration(arch=a.arch, pre_iters=a.pre_iters, batch=a.batch,
-                        shifts=a.shifts, contents=a.contents, seed=a.seed,
-                        bf16=a.bf16)
+                        shifts=a.shifts, contents=a.contents, style=a.style,
+                        seed=a.seed, bf16=a.bf16)
     if a.json:
         with open(a.json, "w") as f:
             json.dump(r, f)
