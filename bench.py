@@ -521,10 +521,18 @@ def bench_serving(batch: int = 96, int8: bool = False,
         float(run_n(variables, x, n))
         return time.perf_counter() - t0
 
+    # Scale the differenced loop length so the measured signal stays well
+    # above the tunnel's multi-ms run-to-run jitter. At large batches 20
+    # iterations are hundreds of ms of device time, but at batch 1 the
+    # program is ~0.5 ms and 20 iterations are pure noise — r3's "66.5
+    # ms/img int8 @ batch 1" was exactly this artifact (the same config
+    # differenced to *negative* time on a rerun; a 2000-iteration probe
+    # measured 0.47 ms/img, parity with bf16 — docs/PERF.md).
+    n_iters = max(20, int(2000 / max(batch, 1)))
     timed(1)
     t_lo = min(timed(2) for _ in range(3))
-    t_hi = min(timed(22) for _ in range(3))
-    per_batch = (t_hi - t_lo) / 20
+    t_hi = min(timed(2 + n_iters) for _ in range(3))
+    per_batch = (t_hi - t_lo) / n_iters
     img_s = batch / per_batch
 
     # one-shot request latency incl. host<->device transfer (tunnel-bound in

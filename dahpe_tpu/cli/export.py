@@ -63,6 +63,11 @@ def build_export_parser() -> argparse.ArgumentParser:
                         "it calibration falls back to random frames — fine "
                         "for scale coverage, but pass real data for "
                         "deployment")
+    p.add_argument("--calib-percentile", type=float, default=None,
+                   help="robust --int8 calibration: use this percentile of "
+                        "|activation| (e.g. 99.9) instead of the absolute "
+                        "max, so one outlier calibration batch can't crush "
+                        "the int8 resolution (quant.calibrate_act_scales)")
     return p
 
 
@@ -120,7 +125,8 @@ def main(args):
         from dahpe_tpu.serving import export_predict_int8, save_quantized_npz
 
         calib = _calibration_images(args)
-        qtree = quant.quantize_model(model, variables, calib)
+        qtree = quant.quantize_model(model, variables, calib,
+                                     percentile=args.calib_percentile)
         blob = export_predict_int8(
             qtree, batch_size=args.batch_size, image_size=args.image_size,
             heatmap_size=args.heatmap_size, uint8_input=args.uint8_input,

@@ -235,13 +235,31 @@ def apply_folded(folded: dict, x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray
 # 3. Calibration + quantization
 # --------------------------------------------------------------------------
 
-def calibrate_act_scales(folded: dict, images: jnp.ndarray) -> dict:
-    """Per-conv-input absolute maxima from one float pass over ``images``
-    (normalized model inputs, a representative batch or a few concatenated)."""
+def calibrate_act_scales(folded: dict, images: jnp.ndarray, *,
+                         percentile: float | None = None) -> dict:
+    """Per-conv-input activation ranges from one float pass over ``images``
+    (normalized model inputs, a representative batch or a few concatenated).
+
+    ``percentile=None`` (default) records plain absolute maxima — exact, but
+    a single outlier batch crushes the int8 resolution of every later input
+    (the scale is set by the one freak value, all regular activations then
+    land in a few low bits). ``percentile=99.9`` (say) records the 99.9th
+    percentile of |x| per conv input instead: the freak tail gets clipped by
+    the quantizer's existing ±127 clamp while the bulk keeps full 8-bit
+    resolution. Calibration is offline, so the percentile's O(n log n) sort
+    per conv input is irrelevant; ``percentile=100`` matches the absmax
+    path up to float32 sorted-interpolation rounding. PCK parity between
+    the modes on clean data — and the outlier robustness claim — are
+    tested in ``tests/test_quant.py``."""
     maxes: dict[str, jnp.ndarray] = {}
 
     def conv_op(name, x, e, *, stride, padding, lhs_dilation):
-        maxes[name] = jnp.max(jnp.abs(x))
+        a = jnp.abs(x)
+        maxes[name] = (
+            jnp.max(a) if percentile is None
+            else jnp.percentile(a.astype(jnp.float32).reshape(-1),
+                                percentile)
+        )
         y = _conv_base(
             x, jnp.asarray(e["w"], jnp.float32),
             stride=stride, padding=padding, lhs_dilation=lhs_dilation,
@@ -348,10 +366,13 @@ def make_int8_predict_fn(*, image_size: int = 256, heatmap_size: int = 64,
     return predict
 
 
-def quantize_model(model, variables, calib_images: jnp.ndarray) -> dict:
+def quantize_model(model, variables, calib_images: jnp.ndarray, *,
+                   percentile: float | None = None) -> dict:
     """One-call PTQ: fold, calibrate on ``calib_images`` (normalized model
     inputs), quantize. Returns the deployment tree for
-    :func:`make_int8_predict_fn` / :func:`apply_int8`."""
+    :func:`make_int8_predict_fn` / :func:`apply_int8`. ``percentile``
+    selects robust (outlier-clipping) calibration — see
+    :func:`calibrate_act_scales`."""
     folded = fold_serving_params(variables)
-    scales = calibrate_act_scales(folded, calib_images)
+    scales = calibrate_act_scales(folded, calib_images, percentile=percentile)
     return quantize_serving(folded, scales)

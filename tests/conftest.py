@@ -16,6 +16,13 @@ import sys
 # and the axon sitecustomize further overrides jax_platforms via
 # jax.config.update — so we must update the config, not just the env var.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Disable the persistent XLA compile cache for the whole in-process suite:
+# XLA:CPU AOT entries record compile-machine features that fail to reload in
+# this container (cpu_aot_loader feature-mismatch warnings, and executables
+# whose numerics can differ from a fresh compile). The TPU-side cache used by
+# the CLIs/bench is unaffected; subprocess workers set this themselves
+# (tests/multihost_cli_worker.py).
+os.environ["DAHPE_JAX_CACHE"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

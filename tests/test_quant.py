@@ -106,6 +106,47 @@ def test_int8_tracks_float_heatmaps(glue):
     assert err < 0.1 * y_f.std(), (err, y_f.std())
 
 
+def test_percentile_calibration_robust_to_outlier():
+    """VERDICT r3 item 5: absmax calibration is hostage to one freak value —
+    a single outlier calibration sample blows up every downstream activation
+    scale and crushes int8 resolution for ALL inputs. Percentile calibration
+    (quant.calibrate_act_scales(percentile=…)) must (a) be bitwise absmax at
+    percentile=100, (b) shrug off the outlier, (c) cost little on clean data.
+
+    The poisoned sample's activations stay confined to its own batch slice
+    (convs are per-sample, BN is folded), so with 1 outlier in 128 calib
+    samples the 99th percentile always lands in the clean mass."""
+    image_size = 32
+    model = models.MultiHeadPoseResNet(
+        backbone=models.get_backbone("resnet18"), num_keypoints=21
+    )
+    variables = _trainish_variables(model, image_size, seed=6)
+    folded = quant.fold_serving_params(variables)
+
+    calib = np.asarray(jax.random.normal(
+        jax.random.key(8), (128, image_size, image_size, 3)
+    ))
+    poisoned = calib.copy()
+    poisoned[0] *= 50.0  # one freak calibration sample
+    calib, poisoned = jnp.asarray(calib), jnp.asarray(poisoned)
+
+    # (a) percentile=100 is the absmax path (up to jnp.percentile's float32
+    # sorted-interpolation rounding vs jnp.max)
+    s_abs = quant.calibrate_act_scales(folded, calib)
+    s_100 = quant.calibrate_act_scales(folded, calib, percentile=100.0)
+    for k in s_abs:
+        np.testing.assert_allclose(s_100[k], s_abs[k], rtol=1e-3)
+
+    s_abs_bad = quant.calibrate_act_scales(folded, poisoned)
+    s_pct_bad = quant.calibrate_act_scales(folded, poisoned, percentile=99.0)
+    # (b) the poisoned absmax scales blow up ~50x; the percentile ones don't
+    assert s_abs_bad["stem"] > 10 * s_abs["stem"]
+    assert s_pct_bad["stem"] <= 1.5 * s_abs["stem"]
+    # the ACCURACY consequence needs a trained model (random-weight heatmap
+    # outputs are degenerate — both modes land in the noise floor); it is
+    # asserted in test_int8_preserves_trained_accuracy below.
+
+
 @pytest.mark.slow
 def test_int8_preserves_trained_accuracy():
     """The acceptance that matters: on a model trained to peaked heatmaps
@@ -139,6 +180,54 @@ def test_int8_preserves_trained_accuracy():
     _, pck_q, _, _ = pck_accuracy(y_q, batch["target"])
     assert float(pck_f) > 0.5  # the model did learn — the gate is real
     assert float(pck_q) >= float(pck_f) - 0.05, (float(pck_f), float(pck_q))
+
+    # PCK parity of the robust calibration mode on clean data: clipping the
+    # top 0.1% of |activation| must track the absmax mode's accuracy. The
+    # band is 3 PCK quanta of this 16x3-joint toy task (1/48 granularity
+    # puts any int8 mode within ~±0.04 of float run-to-run — measured
+    # spread: absmax 0.479, p99.9 0.500, p99.99 0.542 vs float 0.500).
+    qtree_p = quant.quantize_serving(
+        folded,
+        quant.calibrate_act_scales(folded, batch["image"], percentile=99.9),
+    )
+    _, pck_p, _, _ = pck_accuracy(
+        quant.apply_int8(qtree_p, batch["image"]), batch["target"]
+    )
+    assert float(pck_p) >= float(pck_q) - 0.07, (float(pck_q), float(pck_p))
+
+    # The outlier-robustness consequence (VERDICT r3 item 5), on a model
+    # with real signal. One freak sample (x50) in a 64-image calibration
+    # set: absmax calibration inflates every scale ~50x and the trained
+    # accuracy COLLAPSES; 99.5th-percentile calibration *mitigates* — one
+    # sample is ~1.6% of the calibration mass, so p99.5 still lands inside
+    # the poisoned slice and keeps a mild inflation (full recovery needs
+    # the outlier fraction below 1-percentile, as in the fast test above).
+    # Measured on this box: clean-absmax err 0.041 / PCK 0.542;
+    # poisoned-absmax err 1.51 / PCK 0.042; poisoned-p99.5 err 0.120 /
+    # PCK 0.4375 (deterministic CPU run; an earlier standalone probe of the
+    # same setup read 0.479 — the task's PCK quantum is 1/48).
+    calib = np.asarray(
+        _dot_batch(np.random.default_rng(1), b=64)[0]["image"]
+    )
+    poisoned = calib.copy()
+    poisoned[0] *= 50.0
+    s_bad = quant.calibrate_act_scales(folded, jnp.asarray(poisoned))
+    s_pct = quant.calibrate_act_scales(
+        folded, jnp.asarray(poisoned), percentile=99.5
+    )
+
+    def run(scales):
+        q = quant.quantize_serving(folded, scales)
+        yq = quant.apply_int8(q, batch["image"])
+        _, pck, _, _ = pck_accuracy(yq, batch["target"])
+        return np.abs(np.asarray(yq) - np.asarray(y_f)).mean(), float(pck)
+
+    err_bad, pck_bad = run(s_bad)
+    err_pct, pck_pct = run(s_pct)
+    assert pck_pct >= float(pck_f) - 0.15, (float(pck_f), pck_pct)
+    assert pck_bad <= float(pck_f) - 0.30, (float(pck_f), pck_bad)
+    assert pck_pct >= pck_bad + 0.25, (pck_bad, pck_pct)
+    assert err_bad > 3 * err_pct, (err_bad, err_pct)
 
     pf, _ = jax.device_get(get_max_preds(y_f))
     pq, _ = jax.device_get(get_max_preds(y_q))
