@@ -28,6 +28,7 @@ def tiny_batch(rng, b=2, k=4, img=64):
     }
 
 
+@pytest.mark.slow
 def test_orbax_state_round_trip_and_resume(tmp_path):
     rng = np.random.default_rng(0)
     model = tiny_model()

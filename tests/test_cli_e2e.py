@@ -194,6 +194,7 @@ def test_test_cli_with_reference_pth(tmp_path):
     test_cli.main(args)
 
 
+@pytest.mark.slow
 def test_test_cli_artifact_eval(tmp_path):
     """Deployment acceptance through the eval CLI: evaluate an EXPORTED
     artifact (`--artifact`, float and int8) against the same fixture the

@@ -146,6 +146,7 @@ def _reference_iteration(model, batches, n_iters):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_da_iteration_parity_with_reference_loop():
     add_reference_to_path()
     if not hasattr(np, "int"):

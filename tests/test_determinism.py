@@ -13,6 +13,7 @@ from dahpe_tpu.data.device_aug import augment_batch
 from dahpe_tpu.models.resnet import Bottleneck
 from dahpe_tpu.train import create_da_state, make_da_train_step
 from tests.fixtures import make_rhd_fixture
+import pytest
 
 
 def test_loader_determinism(tmp_path):
@@ -39,6 +40,7 @@ def test_device_aug_determinism():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_train_step_determinism():
     rng = np.random.default_rng(1)
     backbone = models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1])

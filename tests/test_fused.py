@@ -58,6 +58,7 @@ def _params_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_fused_da_iteration_matches_unfused(stores):
     mesh, src, tgt = stores
     d = mesh.shape["data"]
@@ -98,6 +99,7 @@ def test_fused_da_iteration_matches_unfused(stores):
     assert int(state_f.step) == 2
 
 
+@pytest.mark.slow
 def test_fused_pretrain_iteration_matches_unfused(stores):
     mesh, src, _ = stores
     d = mesh.shape["data"]

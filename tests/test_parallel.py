@@ -56,6 +56,7 @@ def test_parallel_da_step_runs_sharded():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_parallel_matches_single_device():
     """Global-batch SPMD must reproduce the single-device step exactly
     (modulo float reduction order)."""

@@ -83,6 +83,7 @@ def test_aux_sidecar_roundtrip(tmp_path):
     assert ckpt.load_aux(path) == {}
 
 
+@pytest.mark.slow
 def test_fused_resume_is_bit_identical_to_straight_run(stores, tmp_path):
     """N iters + checkpoint + restore + N iters == 2N iters, on the fused
     single-dispatch device-store path (cli/train.py's production mode)."""

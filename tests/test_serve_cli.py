@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from dahpe_tpu import models
+import pytest
 
 
 def _export_artifact(tmp_path, batch, *extra_flags):
@@ -47,6 +48,7 @@ def _post_npy(conn, path, arr):
     return resp.status, json.loads(resp.read())
 
 
+@pytest.mark.slow
 def test_serve_cli_http(tmp_path):
     from dahpe_tpu.cli.serve import build_serve_parser, create_server
     from dahpe_tpu.serving import load_artifact_weights, load_predict_file
@@ -121,6 +123,7 @@ def test_serve_cli_http(tmp_path):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_serve_cli_uint8_polymorphic(tmp_path):
     """A batch-polymorphic uint8-ingest artifact: the server skips warmup
     (no fixed batch), accepts ANY request batch (padded to a power-of-two
@@ -171,6 +174,7 @@ def test_serve_cli_uint8_polymorphic(tmp_path):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_serve_cli_dynamic_batching(tmp_path):
     """--batch-window: 4 concurrent batch-2 requests against a batch-8
     artifact coalesce into ONE device dispatch (the batcher fills the
@@ -234,6 +238,7 @@ def test_serve_cli_dynamic_batching(tmp_path):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_serve_cli_int8_artifact(tmp_path):
     """The int8 deployment artifact serves over HTTP unchanged: the weight
     loader recognizes the quantized npz, the endpoint's contract comes from
@@ -269,6 +274,7 @@ def test_serve_cli_int8_artifact(tmp_path):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_serve_cli_batching_oversize_polymorphic(tmp_path):
     """A batch-polymorphic artifact under --batch-window: a request LARGER
     than the coalescing cap (--max-batch) must dispatch solo — the cap is
@@ -305,6 +311,7 @@ def test_serve_cli_batching_oversize_polymorphic(tmp_path):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_serve_cli_pow2_bucketing(tmp_path):
     """Batch-polymorphic artifacts dispatch on power-of-two padded batches:
     arbitrary request sizes would otherwise compile one program per
@@ -364,6 +371,7 @@ def test_pad_target_respects_mesh_divisibility():
     assert _pad_target(5, None, 6) == 12    # non-pow2 device counts too
 
 
+@pytest.mark.slow
 def test_serve_cli_mesh_small_polymorphic_request(tmp_path):
     """A --mesh server with a batch-polymorphic artifact must serve requests
     smaller than the device count (padding rounds up to the mesh size);
@@ -391,6 +399,7 @@ def test_serve_cli_mesh_small_polymorphic_request(tmp_path):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_serve_cli_dispatch_error_is_500(tmp_path):
     """A device-dispatch failure on a WELL-FORMED request answers 500, not
     400 — client retry logic keys on 4xx-vs-5xx, and a valid request must
@@ -434,6 +443,7 @@ def test_serve_cli_dispatch_error_is_500(tmp_path):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_serve_cli_dispatch_error_500_batched(tmp_path):
     """The same 5xx contract through the dynamic-batching path: the
     collector thread's dispatch failure propagates to every coalesced
@@ -512,6 +522,7 @@ def test_client_non_json_error_bodies():
         server.server_close()
 
 
+@pytest.mark.slow
 def test_serve_cli_close_drains_handlers(tmp_path):
     """server_close joins in-flight handler threads (non-daemon): a request
     accepted before shutdown completes instead of being killed mid-device-
@@ -564,6 +575,7 @@ def test_serve_cli_close_drains_handlers(tmp_path):
     assert np.asarray(out["coords"]).shape == (2, 21, 2)
 
 
+@pytest.mark.slow
 def test_serve_cli_mesh(tmp_path):
     """--mesh: the server shards each compiled batch over all 8 virtual
     devices; responses match the single-device artifact."""

@@ -9,6 +9,7 @@ from dahpe_tpu import models
 from dahpe_tpu.evaluate import make_predict_fn
 from dahpe_tpu.models.resnet import Bottleneck
 from dahpe_tpu.serving import export_predict, load_predict
+import pytest
 
 
 def _model_and_vars():
@@ -170,6 +171,7 @@ def test_int8_export_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_int8_export_cli(tmp_path):
     """Export CLI with --int8: orbax checkpoint → int8 StableHLO + int8 npz,
     reloaded bare-host; int8 weight file is ~4x smaller than the float one."""
@@ -241,6 +243,7 @@ def test_uint8_ingestion_export_matches_normalized():
     )
 
 
+@pytest.mark.slow
 def test_mesh_predict_data_parallel():
     """Data-parallel serving over the 8-device mesh: the artifact inlined
     into a GSPMD-partitioned program, batch sharded, weights replicated —
