@@ -229,7 +229,7 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
     return pretrain_path
 
 
-def _stop_consensus(stop_signum) -> int | None:
+def make_stop_poller(stop_signum, poll_every: int = 1):
     """Multihost-safe graceful-stop check, polled at iteration boundaries.
 
     The drain path (``save_latest`` → ``fast_ckpt.save_packed``) is a
@@ -239,16 +239,42 @@ def _stop_consensus(stop_signum) -> int | None:
     one process enter the save while its peers launch the next training
     step, deadlocking both (caught by the 2-process CLI rehearsal in
     tests/test_multihost.py). The local flag is therefore OR-reduced across
-    processes (max of signums) each iteration. Single-process runs take the
-    plain local check — no collective, no host sync, zero cost.
-    """
-    local = stop_signum[0] if stop_signum else 0
-    if jax.process_count() == 1:
-        return local or None
-    from jax.experimental import multihost_utils
+    processes (max of signums) by a ``process_allgather``.
 
-    agreed = int(np.max(multihost_utils.process_allgather(np.int32(local))))
-    return agreed or None
+    That allgather is a HOST sync: the calling host blocks until the
+    collective lands, i.e. until every process's training step has
+    finished — which would destroy the dispatch run-ahead the async loops
+    rely on if it ran every iteration. So the returned poller counts its
+    calls and runs the collective only every ``poll_every``-th call (the
+    CLI passes ``--print-freq``, the cadence at which the host already
+    syncs on metric fetches); between cadence points a locally-set flag is
+    DEFERRED, never acted on locally — acting on it would be exactly the
+    one-process-drains-alone deadlock. Every process must therefore call
+    the poller exactly once per iteration so the call counters stay in
+    lockstep (loop trip counts are identical across processes: same args,
+    same resume point). Worst-case drain latency is ``poll_every``
+    iterations — bounded and cheap next to a preemption grace period.
+    Single-process runs skip all of this and take the plain local check
+    every call: no collective, no host sync, zero cost.
+    """
+    calls = 0
+
+    def poll() -> int | None:
+        nonlocal calls
+        local = stop_signum[0] if stop_signum else 0
+        if jax.process_count() == 1:
+            return local or None
+        calls += 1
+        if calls % max(poll_every, 1):
+            return None
+        from jax.experimental import multihost_utils
+
+        agreed = int(
+            np.max(multihost_utils.process_allgather(np.int32(local)))
+        )
+        return agreed or None
+
+    return poll
 
 
 def main(args):
@@ -434,25 +460,41 @@ def _run_phases(args, logger, saver, stop_signum):
                 val_source,
                 source_store=stores["source"] if stores else None,
                 mesh=mesh, saver=saver,
-                stop=lambda: _stop_consensus(stop_signum),
+                stop=make_stop_poller(stop_signum, args.print_freq),
             )
             if pretrain_path is None:  # graceful stop during pretraining
                 saver.close()
                 return
         if pretrain_path is not None:
             variables = variables_of(state)
-            if pretrain_path.endswith(".pth"):
-                variables = ckpt.load_reference_pth(
-                    pretrain_path, variables, strict=False
-                )
-            else:
-                pre = ckpt.load_model_variables(pretrain_path)
-                # key-filtered warm start (train1.py:184-189): backbone +
-                # upsampling transfer; the pretrain head's Conv1x1 keys do
-                # not exist in the multi-head model and are dropped
-                from dahpe_tpu.utils.torch_import import filtered_update
+            # Multi-host: ONLY process 0 reads the checkpoint. Writes are
+            # process-0-gated (fast_ckpt.save_packed), so on per-host log
+            # dirs the file does not even exist elsewhere, and on a shared
+            # filesystem a non-zero host could race the async writer. The
+            # warm-start weights are shipped over the wire instead — one
+            # ~model-sized broadcast, the standard JAX multihost-restore
+            # pattern (caught by the 2-process rehearsal in
+            # tests/test_multihost.py: process 1 crashed on this load).
+            if jax.process_index() == 0:
+                if pretrain_path.endswith(".pth"):
+                    variables = ckpt.load_reference_pth(
+                        pretrain_path, variables, strict=False
+                    )
+                else:
+                    pre = ckpt.load_model_variables(pretrain_path)
+                    # key-filtered warm start (train1.py:184-189): backbone
+                    # + upsampling transfer; the pretrain head's Conv1x1
+                    # keys do not exist in the multi-head model and are
+                    # dropped
+                    from dahpe_tpu.utils.torch_import import filtered_update
 
-                variables = filtered_update(variables, pre)
+                    variables = filtered_update(variables, pre)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                variables = multihost_utils.broadcast_one_to_all(
+                    jax.device_get(variables)
+                )
             state = state.replace(
                 params=dict(variables["params"]),
                 batch_stats=dict(variables["batch_stats"]),
@@ -651,6 +693,7 @@ def _run_phases(args, logger, saver, stop_signum):
         print(f"--max-steps {args.max_steps} already reached "
               f"(step {global_step}); nothing to do")
         return
+    poll_stop = make_stop_poller(stop_signum, args.print_freq)
     for epoch in range(start_epoch, args.epochs):
         logger.set_epoch(epoch)
         batch_time = AverageMeter("Time", ":4.2f")
@@ -691,7 +734,7 @@ def _run_phases(args, logger, saver, stop_signum):
                               f"target_{i}_pred")
             end = time.time()
             budget_done = args.max_steps and global_step >= args.max_steps
-            stop_sig = _stop_consensus(stop_signum)
+            stop_sig = poll_stop()
             if stop_sig or budget_done:
                 if stop_sig:
                     print(f"signal {stop_sig}: finished the in-flight "

@@ -330,7 +330,7 @@ def test_cli_train_multihost_end_to_end(tmp_path):
     2. ``--resume`` from that run's ``latest`` — continues cleanly under 2
        processes (both read the checkpoint; process 0 keeps writing);
     3. SIGTERM mid-DA, delivered to the two processes ~0.5 s apart — the
-       stop consensus (cli/train.py:_stop_consensus) must drain BOTH at the
+       stop consensus (cli/train.py:make_stop_poller) must drain BOTH at the
        same iteration (a local-only flag check deadlocks the collective
        save), exit 0, and write ``checkpoints/latest`` on process 0 only.
     """
@@ -348,8 +348,10 @@ def test_cli_train_multihost_end_to_end(tmp_path):
     assert os.path.isdir(os.path.join(ck0, "0")), os.listdir(p0)
     assert os.path.isdir(os.path.join(ck0, "latest"))
     assert os.path.isfile(os.path.join(p0, "metrics.jsonl"))
-    # process 1 must not have written checkpoints or metrics
-    assert not os.path.isdir(os.path.join(p1, "checkpoints"))
+    # process 1 must not have written checkpoints or metrics (RunLogger
+    # pre-creates the empty checkpoints/ dir on every host; what matters
+    # is that no DATA lands there)
+    assert os.listdir(os.path.join(p1, "checkpoints")) == []
     assert not os.path.isfile(os.path.join(p1, "metrics.jsonl"))
 
     # --- phase 2: resume under multihost -----------------------------------
@@ -362,9 +364,9 @@ def test_cli_train_multihost_end_to_end(tmp_path):
     assert os.path.isdir(os.path.join(r0, "checkpoints", "1")), (
         _log_text(r0)[-2000:]
     )
-    assert not os.path.isdir(
+    assert os.listdir(
         os.path.join(_log_dir(tmp_path, "resume", 1), "checkpoints")
-    )
+    ) == []
 
     # --- phase 3: staggered SIGTERM drain ----------------------------------
     args = _cli_base_args(tmp_path, "drain") + [
@@ -399,6 +401,6 @@ def test_cli_train_multihost_end_to_end(tmp_path):
     assert os.path.isdir(latest)
     text = _log_text(d0)
     assert "stop requested" in text
-    assert not os.path.isdir(
+    assert os.listdir(
         os.path.join(_log_dir(tmp_path, "drain", 1), "checkpoints")
-    )
+    ) == []

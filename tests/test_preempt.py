@@ -262,3 +262,61 @@ def test_sigterm_saves_latest_and_exits_zero(tmp_path):
     text = _log_text(log_dir)
     assert "saving checkpoints/latest" in text
     assert "stop requested at step" in text
+
+
+# ---------------------------------------------------------------------------
+# Stop-poller unit semantics (the multihost consensus cadence)
+# ---------------------------------------------------------------------------
+
+def test_stop_poller_single_process_is_immediate():
+    """Single-process mode: the local flag is returned at the very next
+    poll, and the collective machinery is never touched (no import, no
+    allgather) — the drain latency contract of every 1-host run."""
+    flag = []
+    poll = train_cli.make_stop_poller(flag, poll_every=100)
+    assert poll() is None
+    flag.append(signal.SIGTERM)
+    assert poll() == signal.SIGTERM  # no 100-call wait in single-process
+
+
+def test_stop_poller_multihost_cadence_and_consensus(monkeypatch):
+    """Multihost mode (process_count forced to 2): the allgather is a HOST
+    sync, so it must run only every poll_every-th call — a locally-set flag
+    between cadence points is DEFERRED, never acted on locally (acting
+    early is the one-process-drains-alone deadlock the consensus exists to
+    prevent). At the cadence point the answer is the max over all
+    processes' flags, so a peer's signal stops this host too."""
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    gathered = []
+
+    def fake_allgather(x):
+        gathered.append(int(x))
+        return np.asarray([int(x), peer_flag[0]], np.int32)
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+
+    peer_flag = [0]
+    flag = []
+    poll = train_cli.make_stop_poller(flag, poll_every=3)
+    flag.append(signal.SIGTERM)  # local signal lands before call 1
+    assert poll() is None and not gathered   # deferred
+    assert poll() is None and not gathered   # still deferred
+    assert poll() == signal.SIGTERM          # cadence point: consensus
+    assert gathered == [signal.SIGTERM]
+
+    # peer-only signal: local flag clear, the gathered max must stop us
+    flag.clear()
+    peer_flag[0] = signal.SIGINT
+    poll = train_cli.make_stop_poller(flag, poll_every=2)
+    assert poll() is None and len(gathered) == 1
+    assert poll() == signal.SIGINT
+    assert gathered == [signal.SIGTERM, 0]
+
+    # quiet cluster: the cadence-point consensus answers None and training
+    # continues
+    peer_flag[0] = 0
+    poll = train_cli.make_stop_poller(flag, poll_every=1)
+    assert poll() is None
+    assert gathered[-1] == 0
