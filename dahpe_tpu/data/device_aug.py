@@ -176,7 +176,6 @@ def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray,
     # of a uint8 level, far inside the resampling noise the augmentation
     # already accepts.
     image = image.transpose(2, 0, 1)
-    image = jnp.clip(jnp.round(image * 256.0), 0.0, 65535.0).astype(jnp.uint16)
 
     # run the shears on a sqrt(2)-padded canvas: intermediate shears push
     # content up to 0.707*h from the center before later shears bring it
@@ -185,34 +184,41 @@ def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray,
     # quarter-turn transposes) exact; the final center-crop restores the
     # original frame, which is all the downstream crop box ever samples.
     pad = int(np.ceil(0.2072 * h)) + 2
-    image = jnp.pad(image, ((0, 0), (pad, pad), (pad, pad)))
     n = h + 2 * pad
 
-    image = jax.lax.switch(
+    quarter_turn = lambda im: jax.lax.switch(
         qi,
         [
-            lambda im: im,
-            lambda im: jnp.rot90(im, k=1, axes=(1, 2)),
-            lambda im: jnp.rot90(im, k=2, axes=(1, 2)),
-            lambda im: jnp.rot90(im, k=3, axes=(1, 2)),
+            lambda x: x,
+            lambda x: jnp.rot90(x, k=1, axes=(1, 2)),
+            lambda x: jnp.rot90(x, k=2, axes=(1, 2)),
+            lambda x: jnp.rot90(x, k=3, axes=(1, 2)),
         ],
-        image,
+        im,
     )
     a = -jnp.tan(r / 2.0)  # |a| <= tan(22.5 deg)
     b = jnp.sin(r)  # |b| <= sin(45 deg)
     kmax_a = int(np.ceil(0.41422 * (n - 1) / 2.0)) + 1
     kmax_b = int(np.ceil(0.70711 * (n - 1) / 2.0)) + 1
     if use_pallas:
-        # ALL three shears in one VMEM-resident kernel (HBM: one canvas read
-        # + one write total — the rotation's speed of light) instead of ~9
-        # masked-shift passes each; bit-identical math (ops/pallas/shear.py)
-        from dahpe_tpu.ops.pallas.shear import rotate3_pallas
+        # ALL three shears in one VMEM-resident kernel, WITH the fixed-point
+        # conversion, padding, center crop and float conversion fused in —
+        # HBM traffic is one float-canvas read + one write total. The
+        # quarter-turn runs first, on the unpadded float canvas: it commutes
+        # with the (elementwise) conversion and the (symmetric) padding, so
+        # the result stays bit-identical to the jnp path below
+        # (ops/pallas/shear.py, tests/test_pallas_shear.py).
+        from dahpe_tpu.ops.pallas.shear import rotate3_fused_pallas
 
-        image = rotate3_pallas(image, a, b, kmax_a=kmax_a, kmax_b=kmax_b)
-    else:
-        image = _shear_x(image, a, kmax_a)
-        image = _shear_y(image, b, kmax_b)
-        image = _shear_x(image, a, kmax_a)
+        return rotate3_fused_pallas(
+            quarter_turn(image), a, b, pad=pad, kmax_a=kmax_a, kmax_b=kmax_b
+        )
+    image = jnp.clip(jnp.round(image * 256.0), 0.0, 65535.0).astype(jnp.uint16)
+    image = jnp.pad(image, ((0, 0), (pad, pad), (pad, pad)))
+    image = quarter_turn(image)
+    image = _shear_x(image, a, kmax_a)
+    image = _shear_y(image, b, kmax_b)
+    image = _shear_x(image, a, kmax_a)
     image = image[:, pad : pad + h, pad : pad + w]
     return image.astype(jnp.float32) * (1.0 / 256.0)
 

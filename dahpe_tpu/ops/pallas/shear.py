@@ -124,6 +124,79 @@ def shear_pallas(
     )(jnp.reshape(slope, (1, 1)).astype(jnp.float32), image)
 
 
+def _rotate3_fused_kernel(slopes_ref, img_ref, out_ref, *, pad: int,
+                          kmax_a: int, kmax_b: int):
+    """:func:`_rotate3_kernel` plus the canvas entry/exit glue fused in:
+    float→8.8-fixed-point conversion, symmetric zero padding, the three
+    shears, the center crop back to the input frame, and the float
+    conversion — all in VMEM. Removes the three XLA elementwise HBM passes
+    (convert, pad, crop+scale) that bracketed the r3 kernel."""
+    a = slopes_ref[0, 0]
+    b = slopes_ref[0, 1]
+    c, h, w = img_ref.shape
+    x = jnp.clip(jnp.round(img_ref[...] * 256.0), 0.0, 65535.0)
+    # Mosaic has no direct float32<->uint16 casts; int32 is the supported
+    # waypoint in both directions (values are integral in [0, 65535] after
+    # the round/clip, so the detour is exact)
+    x = jnp.pad(x.astype(jnp.int32).astype(jnp.uint16),
+                ((0, 0), (pad, pad), (pad, pad)))
+    x = _shear_block(x, a, kmax=kmax_a, axis=2)
+    x = _shear_block(x, b, kmax=kmax_b, axis=1)
+    x = _shear_block(x, a, kmax=kmax_a, axis=2)
+    crop = x[:, pad : pad + h, pad : pad + w].astype(jnp.int32)
+    out_ref[...] = crop.astype(jnp.float32) * (1.0 / 256.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pad", "kmax_a", "kmax_b", "interpret")
+)
+def rotate3_fused_pallas(
+    image: jnp.ndarray,
+    slope_a: jnp.ndarray,
+    slope_b: jnp.ndarray,
+    *,
+    pad: int,
+    kmax_a: int,
+    kmax_b: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Paeth rotation of one float canvas with ALL glue fused (vmap for
+    batches): 8.8 fixed-point conversion, symmetric ``pad``, the three
+    shears, center crop, float conversion — one HBM read of the float
+    canvas and one write of the result.
+
+    Bit-identical to the r3 composition
+    ``crop(rotate3_pallas(pad(to_fixed(image)))) / 256`` (conversion is
+    elementwise and the padding symmetric, so their order relative to the
+    caller's quarter-turn commutes — verified exactly in
+    ``tests/test_pallas_shear.py``).
+
+    Args:
+      image: (C, H, W) float32 in [0, 255] (the post-quarter-turn canvas).
+      slope_a / slope_b: scalar float32 shear slopes.
+      pad: static symmetric padding (the sqrt(2) rotation margin).
+      kmax_a / kmax_b: static integer-shift bounds ON THE PADDED canvas.
+    Returns: (C, H, W) float32 in [0, 255] (1/256-quantized).
+    """
+    c, h, w = image.shape
+    kernel = functools.partial(
+        _rotate3_fused_kernel, pad=pad, kmax_a=kmax_a, kmax_b=kmax_b
+    )
+    slopes = jnp.stack(
+        [jnp.asarray(slope_a, jnp.float32), jnp.asarray(slope_b, jnp.float32)]
+    ).reshape(1, 2)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        interpret=interpret,
+    )(slopes, image.astype(jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("kmax_a", "kmax_b", "interpret"))
 def rotate3_pallas(
     image: jnp.ndarray,

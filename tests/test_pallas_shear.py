@@ -64,13 +64,37 @@ def test_rotate3_fused_exact():
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_rotate3_glue_fused_exact():
+    """The glue-fused kernel == to_fixed → pad → three shears → crop →
+    to_float done with the jnp ops, bit for bit."""
+    from dahpe_tpu.ops.pallas.shear import rotate3_fused_pallas
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0.0, 255.0, (3, 48, 48)), jnp.float32)
+    pad = 12
+    for a, b in ((0.0, 0.0), (-0.2, 0.38), (0.41421, -0.70710)):
+        fx = jnp.pad(
+            jnp.clip(jnp.round(img * 256.0), 0.0, 65535.0).astype(jnp.uint16),
+            ((0, 0), (pad, pad), (pad, pad)),
+        )
+        ref = da._shear_x(
+            da._shear_y(da._shear_x(fx, jnp.float32(a), 31),
+                        jnp.float32(b), 52),
+            jnp.float32(a), 31)
+        ref = ref[:, pad:-pad, pad:-pad].astype(jnp.float32) * (1.0 / 256.0)
+        got = rotate3_fused_pallas(img, jnp.float32(a), jnp.float32(b),
+                                   pad=pad, kmax_a=31, kmax_b=52,
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_rotate_shears_pallas_exact(monkeypatch):
     """The full quarter-turn + three-shear rotation through the fused kernel."""
     import dahpe_tpu.ops.pallas.shear as shear_mod
 
-    real = shear_mod.rotate3_pallas
+    real = shear_mod.rotate3_fused_pallas
     monkeypatch.setattr(
-        shear_mod, "rotate3_pallas",
+        shear_mod, "rotate3_fused_pallas",
         lambda *a, **kw: real(*a, interpret=True, **kw),
     )
     rng = np.random.default_rng(3)
