@@ -388,8 +388,10 @@ def bench_device_aug(batch: int = 256, warp: str = "matmul") -> None:
     from dahpe_tpu.data.device_aug import augment_batch
 
     rng = np.random.default_rng(0)
+    # uint8, like the production device-store path (the pallas warp ingests
+    # it directly; other warps cast on entry exactly as the store would)
     images = jnp.asarray(
-        rng.integers(0, 255, (batch, 288, 288, 3)), jnp.float32
+        rng.integers(0, 255, (batch, 288, 288, 3)), jnp.uint8
     )
     kps = jnp.asarray(rng.uniform(20, 260, (batch, 21, 2)), jnp.float32)
     intr = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (batch, 3, 3))
@@ -402,9 +404,11 @@ def bench_device_aug(batch: int = 256, warp: str = "matmul") -> None:
             out, kp, _ = augment_batch(
                 images, kps, intr, sub, out_size=256, warp=warp
             )
-            # data dependency so iterations serialize and can't be hoisted
+            # data dependency so iterations serialize and can't be hoisted;
+            # the added term is a traced zero (XLA can't fold it) so the
+            # uint8 store passes through unchanged
             return (
-                images * (1.0 + 1e-9 * out[0, 0, 0, 0]),
+                images + (jnp.abs(out[0, 0, 0, 0]) * 1e-9).astype(images.dtype),
                 key,
                 acc + out[0, 0, 0, 0] + kp[0, 0, 0],
             )

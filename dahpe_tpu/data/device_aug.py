@@ -151,8 +151,9 @@ def _shear_y(image: jnp.ndarray, slope: jnp.ndarray, kmax: int) -> jnp.ndarray:
 
 def _rotate_shears(image: jnp.ndarray, angle_deg: jnp.ndarray,
                    use_pallas: bool = False) -> jnp.ndarray:
-    """Rotate a square ``(H, W, C)`` image about its center — zero gathers —
-    returning the rotated canvas channels-first ``(C, H, W)``.
+    """Rotate a square ``(H, W, C)`` image (float32 in [0, 255]; the pallas
+    path also accepts uint8) about its center — zero gathers — returning the
+    rotated float canvas channels-first ``(C, H, W)``.
 
     ``angle = 90q + r`` with ``|r| <= 45``: the quarter-turns are exact
     transpose/reverse ops, and ``R(r)`` is the classic three-shear (Paeth)
@@ -385,11 +386,15 @@ def augment_batch(
         non-square inputs).
     Returns: normalized images (B, out, out, 3), keypoints, intrinsics.
     """
-    images = images.astype(jnp.float32)
     b = images.shape[0]
     keys = jax.random.split(key, (b, 3))
     if warp in ("matmul", "pallas") and images.shape[1] != images.shape[2]:
         warp = "gather"
+    if not (warp == "pallas" and images.dtype == jnp.uint8):
+        # the pallas warp ingests the loader's uint8 directly (fixed-point
+        # conversion happens inside the kernel — bit-identical, and skips
+        # the 4x-bytes float-cast HBM pass); every other path needs float
+        images = images.astype(jnp.float32)
 
     def one(img, kp, intr, ks):
         img, kp, intr = _warp_one(

@@ -124,22 +124,33 @@ def shear_pallas(
     )(jnp.reshape(slope, (1, 1)).astype(jnp.float32), image)
 
 
+def _to_fixed(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 or float32 ``[0, 255]`` canvas → 8.8 fixed-point uint16.
+
+    Exact on both inputs: uint8 values scale to at most 65280, and integral
+    float values convert through ``round`` unchanged — so a uint8 canvas and
+    its float cast produce bit-identical fixed-point canvases. Mosaic has no
+    direct float32↔uint16 casts; int32 is the supported waypoint in both
+    directions (values are integral in ``[0, 65535]``, so it is exact)."""
+    if x.dtype == jnp.uint8:
+        return (x.astype(jnp.int32) * 256).astype(jnp.uint16)
+    x = jnp.clip(jnp.round(x * 256.0), 0.0, 65535.0)
+    return x.astype(jnp.int32).astype(jnp.uint16)
+
+
 def _rotate3_fused_kernel(slopes_ref, img_ref, out_ref, *, pad: int,
                           kmax_a: int, kmax_b: int):
     """:func:`_rotate3_kernel` plus the canvas entry/exit glue fused in:
-    float→8.8-fixed-point conversion, symmetric zero padding, the three
-    shears, the center crop back to the input frame, and the float
+    uint8/float→8.8-fixed-point conversion, symmetric zero padding, the
+    three shears, the center crop back to the input frame, and the float
     conversion — all in VMEM. Removes the three XLA elementwise HBM passes
-    (convert, pad, crop+scale) that bracketed the r3 kernel."""
+    (convert, pad, crop+scale) that bracketed the r3 kernel; ingesting the
+    loader's uint8 directly also removes the float-cast pass before it and
+    quarters the kernel's HBM input read."""
     a = slopes_ref[0, 0]
     b = slopes_ref[0, 1]
     c, h, w = img_ref.shape
-    x = jnp.clip(jnp.round(img_ref[...] * 256.0), 0.0, 65535.0)
-    # Mosaic has no direct float32<->uint16 casts; int32 is the supported
-    # waypoint in both directions (values are integral in [0, 65535] after
-    # the round/clip, so the detour is exact)
-    x = jnp.pad(x.astype(jnp.int32).astype(jnp.uint16),
-                ((0, 0), (pad, pad), (pad, pad)))
+    x = jnp.pad(_to_fixed(img_ref[...]), ((0, 0), (pad, pad), (pad, pad)))
     x = _shear_block(x, a, kmax=kmax_a, axis=2)
     x = _shear_block(x, b, kmax=kmax_b, axis=1)
     x = _shear_block(x, a, kmax=kmax_a, axis=2)
@@ -160,19 +171,21 @@ def rotate3_fused_pallas(
     kmax_b: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Paeth rotation of one float canvas with ALL glue fused (vmap for
-    batches): 8.8 fixed-point conversion, symmetric ``pad``, the three
-    shears, center crop, float conversion — one HBM read of the float
+    """Paeth rotation of one uint8/float canvas with ALL glue fused (vmap
+    for batches): 8.8 fixed-point conversion, symmetric ``pad``, the three
+    shears, center crop, float conversion — one HBM read of the input
     canvas and one write of the result.
 
     Bit-identical to the r3 composition
     ``crop(rotate3_pallas(pad(to_fixed(image)))) / 256`` (conversion is
     elementwise and the padding symmetric, so their order relative to the
     caller's quarter-turn commutes — verified exactly in
-    ``tests/test_pallas_shear.py``).
+    ``tests/test_pallas_shear.py``), and identical across the two input
+    dtypes (:func:`_to_fixed` is exact on uint8).
 
     Args:
-      image: (C, H, W) float32 in [0, 255] (the post-quarter-turn canvas).
+      image: (C, H, W) uint8 or float32 in [0, 255] (the post-quarter-turn
+        canvas; uint8 is the fast path — 4x less HBM input traffic).
       slope_a / slope_b: scalar float32 shear slopes.
       pad: static symmetric padding (the sqrt(2) rotation margin).
       kmax_a / kmax_b: static integer-shift bounds ON THE PADDED canvas.
@@ -194,7 +207,8 @@ def rotate3_fused_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
         interpret=interpret,
-    )(slopes, image.astype(jnp.float32))
+    )(slopes, image if image.dtype == jnp.uint8
+      else image.astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("kmax_a", "kmax_b", "interpret"))

@@ -175,3 +175,27 @@ def test_gaussian_blur_preserves_mean():
     out = device_aug._gaussian_blur(jnp.asarray(img), jax.random.key(1))
     assert out.shape == img.shape
     assert abs(float(out.mean()) - float(img.mean())) < 1.5
+
+
+def test_augment_batch_pallas_uint8_equals_float(monkeypatch):
+    """The pallas warp's uint8 fast path (in-kernel fixed-point conversion,
+    no float-cast HBM pass) is bit-identical to feeding the float cast."""
+    import dahpe_tpu.ops.pallas.shear as shear_mod
+
+    real = shear_mod.rotate3_fused_pallas
+    monkeypatch.setattr(
+        shear_mod, "rotate3_fused_pallas",
+        lambda *a, **kw: real(*a, interpret=True, **kw),
+    )
+    rng = np.random.default_rng(7)
+    imgs_u8 = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3)), jnp.uint8)
+    kps = jnp.asarray(rng.uniform(10, 54, (2, 21, 2)), jnp.float32)
+    intr = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (2, 3, 3))
+    key = jax.random.key(11)
+    out_u8 = device_aug.augment_batch(
+        imgs_u8, kps, intr, key, out_size=32, warp="pallas")
+    out_f = device_aug.augment_batch(
+        imgs_u8.astype(jnp.float32), kps, intr, key, out_size=32,
+        warp="pallas")
+    for a, b in zip(out_u8, out_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -88,6 +88,23 @@ def test_rotate3_glue_fused_exact():
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_rotate3_glue_fused_uint8_exact():
+    """uint8 ingestion (in-kernel fixed-point conversion) == the float-cast
+    path, bit for bit — the production device-store path feeds uint8."""
+    from dahpe_tpu.ops.pallas.shear import rotate3_fused_pallas
+
+    rng = np.random.default_rng(6)
+    img_u8 = jnp.asarray(rng.integers(0, 256, (3, 48, 48)), jnp.uint8)
+    for a, b in ((0.0, 0.0), (-0.2, 0.38), (0.41421, -0.70710)):
+        ref = rotate3_fused_pallas(
+            img_u8.astype(jnp.float32), jnp.float32(a), jnp.float32(b),
+            pad=12, kmax_a=31, kmax_b=52, interpret=True)
+        got = rotate3_fused_pallas(img_u8, jnp.float32(a), jnp.float32(b),
+                                   pad=12, kmax_a=31, kmax_b=52,
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_rotate_shears_pallas_exact(monkeypatch):
     """The full quarter-turn + three-shear rotation through the fused kernel."""
     import dahpe_tpu.ops.pallas.shear as shear_mod
@@ -98,8 +115,12 @@ def test_rotate_shears_pallas_exact(monkeypatch):
         lambda *a, **kw: real(*a, interpret=True, **kw),
     )
     rng = np.random.default_rng(3)
-    img = jnp.asarray(rng.integers(0, 255, (64, 64, 3)), jnp.float32)
+    img_u8 = jnp.asarray(rng.integers(0, 255, (64, 64, 3)), jnp.uint8)
+    img = img_u8.astype(jnp.float32)
     for angle in (0.0, 33.0, -117.5, 180.0):
         ref = da._rotate_shears(img, jnp.float32(angle), use_pallas=False)
         got = da._rotate_shears(img, jnp.float32(angle), use_pallas=True)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+        # uint8 in, conversion in-kernel: still bit-identical
+        got_u8 = da._rotate_shears(img_u8, jnp.float32(angle), use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got_u8))
