@@ -406,9 +406,14 @@ def bench_device_aug(batch: int = 256, warp: str = "matmul") -> None:
             )
             # data dependency so iterations serialize and can't be hoisted;
             # the added term is a traced zero (XLA can't fold it) so the
-            # uint8 store passes through unchanged
+            # uint8 store passes through unchanged.  The min(., 0.99) makes
+            # the truncate-to-0 contract explicit rather than relying on the
+            # output being ImageNet-normalized (|out| < ~3) forever.
             return (
-                images + (jnp.abs(out[0, 0, 0, 0]) * 1e-9).astype(images.dtype),
+                images
+                + jnp.minimum(jnp.abs(out[0, 0, 0, 0]) * 1e-9, 0.99).astype(
+                    images.dtype
+                ),
                 key,
                 acc + out[0, 0, 0, 0] + kp[0, 0, 0],
             )

@@ -282,18 +282,15 @@ def main(args):
 
     enable_compile_cache()
     if getattr(args, "multihost", False):
-        # Explicit coordinator config via env (torchrun-style) for clusters
-        # jax's auto-detection doesn't know (and for the 2-process CPU
-        # rehearsal in tests/test_multihost.py); on TPU pods the no-arg
-        # call auto-detects everything.
-        kw = {}
-        if os.environ.get("DAHPE_COORDINATOR"):
-            kw = dict(
-                coordinator_address=os.environ["DAHPE_COORDINATOR"],
-                num_processes=int(os.environ["DAHPE_NUM_PROCESSES"]),
-                process_id=int(os.environ["DAHPE_PROCESS_ID"]),
-            )
-        jax.distributed.initialize(**kw)
+        # Explicit coordinator config via the DAHPE_COORDINATOR env contract
+        # (torchrun-style) for clusters jax's auto-detection doesn't know
+        # (and for the 2-process CPU rehearsal in tests/test_multihost.py);
+        # on TPU pods the no-arg call auto-detects everything.  Bring-up is
+        # timeout-bounded and retried (VERDICT r4: a bare initialize lost a
+        # coordinator race under host load) — parallel/distributed.py.
+        from dahpe_tpu.parallel import robust_distributed_initialize
+
+        robust_distributed_initialize()
     logger = RunLogger(args.log, args.phase)
     # checkpoint writes drain on a worker thread behind the next epoch's
     # compute (a concurrent D2H measured zero step slowdown): the flagship

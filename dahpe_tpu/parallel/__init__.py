@@ -1,5 +1,9 @@
 """Device-mesh data parallelism."""
 
+from dahpe_tpu.parallel.distributed import (
+    cpu_collective_timeout_flag,
+    robust_distributed_initialize,
+)
 from dahpe_tpu.parallel.mesh import (
     create_mesh,
     make_parallel_da_step,
@@ -10,6 +14,8 @@ from dahpe_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "cpu_collective_timeout_flag",
+    "robust_distributed_initialize",
     "create_mesh",
     "make_parallel_da_step",
     "make_parallel_eval_step",

@@ -27,8 +27,13 @@ def main():
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
+    # Raise Gloo's lazy full-mesh connect timeout: under suite load the two
+    # workers reach their first collective minutes apart (compiles are slow
+    # on this one-core box) and the default timeout loses the race (VERDICT
+    # r4 reproduced the flake).  CPU-only knob — set BEFORE importing jax.
     os.environ["XLA_FLAGS"] = (
         f"{flags} --xla_force_host_platform_device_count={local_devices}"
+        " --xla_cpu_collective_timeout_seconds=1200"
     ).strip()
     # the CLI's --multihost reads these (explicit coordinator config)
     os.environ["DAHPE_COORDINATOR"] = coordinator

@@ -21,18 +21,23 @@ def main():
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
+    # see multihost_cli_worker.py: raise Gloo's connect timeout before the
+    # backend exists — the two workers' first collectives can be minutes
+    # apart under suite load on this one-core box.
     os.environ["XLA_FLAGS"] = (
         f"{flags} --xla_force_host_platform_device_count={local_devices}"
+        " --xla_cpu_collective_timeout_seconds=1200"
     ).strip()
+    os.environ["DAHPE_COORDINATOR"] = coordinator
+    os.environ["DAHPE_NUM_PROCESSES"] = str(num_processes)
+    os.environ["DAHPE_PROCESS_ID"] = str(process_id)
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    from dahpe_tpu.parallel import robust_distributed_initialize
+
+    robust_distributed_initialize()
     assert jax.process_count() == num_processes
 
     import numpy as np
