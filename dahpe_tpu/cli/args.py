@@ -72,6 +72,13 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                              "exiting cleanly; 0 = no limit. Budget-bound "
                              "runs and preemption drills")
     parser.add_argument("--ema-decay", default=0.999, type=float)
+    parser.add_argument("--conf-gate", default=0.0, type=float, metavar="Q",
+                        help="drop the per-joint fraction Q of least-"
+                             "confident target pseudo-labels in the "
+                             "adversarial steps (batch-relative peak-"
+                             "activation quantile; drift mitigation — "
+                             "docs/ACCURACY.md). 0 = off, the reference "
+                             "behavior (train1.py trusts every label)")
     parser.add_argument("--with-ema", action="store_true",
                         help="maintain + update the EMA twin each iteration "
                              "(the reference creates it but leaves the update "

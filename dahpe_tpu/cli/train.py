@@ -525,6 +525,7 @@ def _run_phases(args, logger, saver, stop_signum):
         base_lr=args.lr, lr_gamma=args.lr_gamma, lr_decay=args.lr_decay,
         trade_off=args.trade_off, momentum=args.momentum, weight_decay=args.wd,
         ema_decay=args.ema_decay if args.with_ema else None,
+        conf_gate=args.conf_gate or None,
     )
     state = replicate(state, mesh)
 

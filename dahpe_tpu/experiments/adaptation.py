@@ -62,6 +62,8 @@ def run_adaptation_experiment(
     style: float | None = None,
     seed: int = 0,
     with_ema: bool = True,
+    ema_decay: float = 0.999,
+    conf_gate: float | None = None,
     bf16: bool = False,
     eval_every: int = 100,
     n_devices: int = 1,
@@ -214,7 +216,8 @@ def run_adaptation_experiment(
     da_state = replicate(da_state, mesh)
     da_fused = make_fused_da_iteration(
         da_model, mesh, src_store, tgt_store, batch,
-        base_lr=da_lr, ema_decay=0.999 if with_ema else None, **aug,
+        base_lr=da_lr, ema_decay=ema_decay if with_ema else None,
+        conf_gate=conf_gate, **aug,
     )
     ks = seed_key(mesh, jax.random.key(seed + 200))
     kt = seed_key(mesh, jax.random.key(seed + 300))
@@ -282,6 +285,13 @@ if __name__ == "__main__":
                    help="rendering-style shift strength; default couples "
                         "it to --content")
     p.add_argument("--da-lr", type=float, default=0.01)
+    p.add_argument("--ema-decay", type=float, default=0.999,
+                   help="EMA twin decay (reference default 0.999, "
+                        "train1.py:667; sweep study in docs/ACCURACY.md)")
+    p.add_argument("--conf-gate", type=float, default=None,
+                   help="drop this per-joint fraction of least-confident "
+                        "target pseudo-labels in steps B/C (drift "
+                        "mitigation; default off = reference behavior)")
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -293,6 +303,7 @@ if __name__ == "__main__":
         batch=a.batch, n_train=a.n_train, image_size=a.image_size,
         heatmap_size=a.heatmap_size, raw_size=a.raw_size, shift=a.shift,
         content=a.content, style=a.style, da_lr=a.da_lr,
+        ema_decay=a.ema_decay, conf_gate=a.conf_gate,
         eval_every=a.eval_every, bf16=a.bf16, seed=a.seed,
     )
     if a.json:

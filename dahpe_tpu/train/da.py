@@ -102,6 +102,7 @@ def make_da_train_step(
     compute_metrics: bool = True,
     share_target_features: bool = True,
     bn_momentum: float | None = None,
+    conf_gate: float | None = None,
 ) -> Callable:
     """Build the jittable DA step: ``(state, batch_s, batch_t) -> (state, metrics)``.
 
@@ -114,6 +115,18 @@ def make_da_train_step(
     — XLA already fuses the jnp label math optimally) and a ``pallas_call``
     does not partition under GSPMD, so the kernel stays a validated bench
     artifact rather than a production knob.
+
+    ``conf_gate`` (default off — the reference has no equivalent,
+    ``train1.py:408-458`` trusts every pseudo-label): drift mitigation for
+    the self-training steps. The pseudo-labels of Steps B and C are built
+    from the main head's own target-domain peaks; as training drifts, low
+    peaks mark joints the model is guessing on, and training the minimax
+    toward those guesses compounds the error (the post-peak PCK decay
+    measured in docs/ACCURACY.md). With ``conf_gate=q`` each target batch
+    drops, PER JOINT, the fraction ``q`` of samples whose peak activation
+    is lowest (a batch-relative quantile, so the gate self-calibrates as
+    the activation scale drifts); their loss weight is zeroed in B and C.
+    Source supervision (Step A) is never gated — those labels are real.
 
     ``share_target_features`` (default on): Steps B and C act on the SAME
     target batch, and neither updates the backbone/upsampling/main-head
@@ -179,7 +192,23 @@ def make_da_train_step(
         adv_keys = ("head_adv", "head_adv2", "head_adv3")
         f_keys = ("backbone", "upsampling")
 
-        def step_b_losses(y, advs):
+        def gated_weight(y):
+            """Confidence-gate the target loss weights on the main head's
+            peak activations (see the factory docstring). Identity when the
+            gate is off; under SPMD the quantile is per-shard, which keeps
+            the gate collective-free (each device drops the q least
+            confident of ITS batch rows — the same statistic at shard
+            granularity)."""
+            if not conf_gate:
+                return w_t
+            conf = jnp.max(jax.lax.stop_gradient(y), axis=(1, 2))  # (B, K)
+            thr = jnp.quantile(
+                conf.astype(jnp.float32), conf_gate, axis=0
+            )  # (K,)
+            mask = (conf >= thr).astype(jnp.float32)
+            return mask if w_t is None else w_t * mask
+
+        def step_b_losses(y, advs, w):
             """The fused ground-false maximization objective (Step B)."""
             a3 = jax.lax.stop_gradient(advs["y_adv3"])
             a2 = jax.lax.stop_gradient(advs["y_adv2"])
@@ -189,15 +218,15 @@ def make_da_train_step(
                 a2, hm_full
             )
             t32 = upsample_bilinear(a3, hm_half)
-            l1 = disparity.rd_16(y, advs["y_adv3"], w_t, "max")
-            l2 = disparity.rd_64(y, advs["y_adv"], t64, w_t, "max")
-            l3 = disparity.rd_32(y, advs["y_adv2"], t32, w_t, "max")
+            l1 = disparity.rd_16(y, advs["y_adv3"], w, "max")
+            l2 = disparity.rd_64(y, advs["y_adv"], t64, w, "max")
+            l3 = disparity.rd_32(y, advs["y_adv2"], t32, w, "max")
             return trade_off * (0.3 * l1 + 1.0 * l2 + 0.3 * l3)
 
-        def step_c_losses(y, advs):
+        def step_c_losses(y, advs, w):
             """The disparity minimization objective (Step C)."""
-            l1 = disparity.rd_32(y, advs["y_adv2"], None, w_t, "min")
-            l2 = disparity.rd_64(y, advs["y_adv"], None, w_t, "min")
+            l1 = disparity.rd_32(y, advs["y_adv2"], None, w, "min")
+            l2 = disparity.rd_64(y, advs["y_adv"], None, w, "min")
             return trade_off * (0.3 * l1 + 1.0 * l2)
 
         if share_target_features:
@@ -225,6 +254,7 @@ def make_da_train_step(
             )
             y_t = jax.lax.stop_gradient(y_t)
             bs_b = dict(upd["batch_stats"])
+            w_tg = gated_weight(y_t)
 
             def loss_b(adv_params, frozen, batch_stats):
                 advs, upd = model.apply(
@@ -233,7 +263,9 @@ def make_da_train_step(
                     f_sg, train=True, gl_coeff=lam, method="adv_heads",
                     mutable=["batch_stats"],
                 )
-                return step_b_losses(y_t, advs), dict(upd["batch_stats"])
+                return step_b_losses(y_t, advs, w_tg), dict(
+                    upd["batch_stats"]
+                )
 
             adv_params, frozen = split_params(params, adv_keys)
             (loss_gf, bs_b), grads_b = jax.value_and_grad(
@@ -250,7 +282,7 @@ def make_da_train_step(
                     gl_coeff=lam, method="adv_heads", mutable=["batch_stats"],
                 )
                 return (
-                    step_c_losses(y_t, advs),
+                    step_c_losses(y_t, advs, w_tg),
                     (dict(upd["batch_stats"]), advs),
                 )
 
@@ -278,7 +310,7 @@ def make_da_train_step(
                 out, bs = forward(
                     {**adv_params, **frozen}, batch_stats, x_t, lam
                 )
-                return step_b_losses(out["y"], out), bs
+                return step_b_losses(out["y"], out, gated_weight(out["y"])), bs
 
             adv_params, frozen = split_params(params, adv_keys)
             (loss_gf, bs), grads_b = jax.value_and_grad(loss_b, has_aux=True)(
@@ -293,7 +325,9 @@ def make_da_train_step(
                 out, bs = forward(
                     {**f_params, **frozen}, batch_stats, x_t, lam
                 )
-                return step_c_losses(out["y"], out), (bs, out)
+                return step_c_losses(out["y"], out, gated_weight(out["y"])), (
+                    bs, out
+                )
 
             f_params, frozen = split_params(params, f_keys)
             (loss_gt, (bs, out_t)), grads_c = jax.value_and_grad(

@@ -116,6 +116,46 @@ def test_da_train_step_runs_and_updates_all_partitions():
     assert any(not np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(bs0, bs1))
 
 
+def test_da_train_step_conf_gate():
+    """conf_gate drops low-confidence target pseudo-labels in steps B/C:
+    the target losses must change, the source loss must NOT (step A is
+    never gated), and the step must stay finite and update all partitions
+    (drift-mitigation knob, docs/ACCURACY.md)."""
+    rng = np.random.default_rng(2)
+    model = tiny_model()
+    state = create_da_state(model, jax.random.key(0), image_size=64)
+    b_s, b_t = tiny_batch(rng, b=4), tiny_batch(rng, b=4)
+
+    plain_fn = jax.jit(make_da_train_step(model))
+    gated_fn = jax.jit(make_da_train_step(model, conf_gate=0.75))
+    _, m0 = plain_fn(state, b_s, b_t)
+    st1, m1 = gated_fn(state, b_s, b_t)
+
+    assert float(m1["loss_s"]) == pytest.approx(float(m0["loss_s"]))
+    assert float(m1["loss_gf"]) != pytest.approx(float(m0["loss_gf"]))
+    assert float(m1["loss_gt"]) != pytest.approx(float(m0["loss_gt"]))
+    for key in ("loss_s", "loss_gf", "loss_gt"):
+        assert np.isfinite(float(m1[key])), key
+    for part, keys in DA_PARTITIONS.items():
+        for k in keys:
+            changed = any(
+                not np.allclose(np.asarray(x), np.asarray(y))
+                for x, y in zip(
+                    jax.tree.leaves(state.params[k]),
+                    jax.tree.leaves(st1.params[k]),
+                )
+            )
+            assert changed, f"partition {part}/{k} did not update"
+
+    # the unshared path gates identically in kind (its own forward's peaks)
+    unshared = jax.jit(
+        make_da_train_step(model, conf_gate=0.75, share_target_features=False)
+    )
+    _, m2 = unshared(state, b_s, b_t)
+    assert np.isfinite(float(m2["loss_gf"]))
+    assert float(m2["loss_gf"]) != pytest.approx(float(m0["loss_gf"]))
+
+
 def test_pretrain_step_decreases_loss():
     rng = np.random.default_rng(1)
     backbone = models.ResNet(block=Bottleneck, layers=[1, 1, 1, 1])
