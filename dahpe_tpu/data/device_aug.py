@@ -323,12 +323,21 @@ def _color_jitter(image, key, strength=0.25):
     return jax.lax.fori_loop(0, 3, apply, image)
 
 
+def _blur_band(n_out, k, r):
+    """(n_out, n_out + 2r) banded matrix applying the 2r+1-tap kernel k."""
+    d = jnp.arange(n_out + 2 * r)[None, :] - jnp.arange(n_out)[:, None]
+    return jnp.where((d >= 0) & (d <= 2 * r), k[jnp.clip(d, 0, 2 * r)], 0.0)
+
+
 def _gaussian_blur(image, key, low=0.0, high=0.8, kernel_radius=2):
     """PIL-style Gaussian blur with a random radius.
 
     A fixed 5-tap separable kernel whose sigma is the sampled radius (PIL
     treats 'radius' as the standard deviation); radius ~ U(0, 0.8) so 2
-    pixels of support suffice.
+    pixels of support suffice. Applied as two banded matmuls rather than
+    C=3 depthwise convs: XLA:TPU maps a 3-channel depthwise conv onto the
+    MXU at ~1% utilization, while the (H, H+2r) band matrices ride it at
+    full tile width (r5 producer audit, docs/PERF.md).
     """
     radius = jax.random.uniform(key, (), minval=low, maxval=high)
     sigma = jnp.maximum(radius, 1e-3)
@@ -338,19 +347,10 @@ def _gaussian_blur(image, key, low=0.0, high=0.8, kernel_radius=2):
     k = jnp.where(radius < 1e-2, (offs == 0).astype(jnp.float32), k)
     k = k / k.sum()
     r = kernel_radius
-    c = image.shape[-1]
-    img = jnp.pad(image, ((r, r), (r, r), (0, 0)), mode="edge")[None]
-    kv = jnp.tile(k[:, None, None, None], (1, 1, 1, c))
-    kh = jnp.tile(k[None, :, None, None], (1, 1, 1, c))
-    img = jax.lax.conv_general_dilated(
-        img, kv, (1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-    )
-    img = jax.lax.conv_general_dilated(
-        img, kh, (1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-    )
-    return img[0]
+    h, w, _ = image.shape
+    img = jnp.pad(image, ((r, r), (r, r), (0, 0)), mode="edge")
+    out = jnp.einsum("yh,hwc->ywc", _blur_band(h, k, r), img)
+    return jnp.einsum("xw,ywc->yxc", _blur_band(w, k, r), out)
 
 
 @partial(

@@ -199,7 +199,15 @@ class DeviceDataStore:
             idx = jax.random.choice(
                 key, local_n, shape=(local_b,), replace=False
             )
-            img = jnp.take(images, idx, axis=0)
+            # gather the image rows through a FLAT (n, h*w*c) view: measured
+            # 2.7x faster than the 4D take on TPU (0.14 vs 0.38 ms for
+            # 32x288x288x3 uint8 — docs/PERF.md r5 audit). The reshape is a
+            # layout-preserving bitcast, so XLA lowers the gather to plain
+            # row copies instead of a 4D gather.
+            h, w, c = images.shape[1:]
+            img = jnp.take(
+                images.reshape(images.shape[0], h * w * c), idx, axis=0
+            ).reshape(local_b, h, w, c)
             kp = jnp.take(kps, idx, axis=0)
             v = jnp.take(vis, idx, axis=0)
             it = jnp.take(intr, idx, axis=0)

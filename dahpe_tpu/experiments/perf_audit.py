@@ -75,7 +75,11 @@ def make_prefix(upto: str, batch: int, out_size: int, rotation: float,
         idx = jax.random.choice(
             jax.random.fold_in(key, 0), n, shape=(batch,), replace=False
         )
-        img = jnp.take(images, idx, axis=0)
+        # flat-view gather, mirroring device_store (r5: 2.7x over 4D take)
+        h, w, c = images.shape[1:]
+        img = jnp.take(
+            images.reshape(n, h * w * c), idx, axis=0
+        ).reshape(batch, h, w, c)
         kp = jnp.take(kps, idx, axis=0)
         if upto == "gather":
             return img, kp

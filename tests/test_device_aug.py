@@ -177,6 +177,49 @@ def test_gaussian_blur_preserves_mean():
     assert abs(float(out.mean()) - float(img.mean())) < 1.5
 
 
+def test_gaussian_blur_matmul_matches_depthwise_conv():
+    """The banded-matmul blur (r5 MXU mapping) is numerically the depthwise
+    conv it replaced: same sampled kernel, same edge padding, f32-roundoff
+    differences only."""
+
+    def conv_oracle(image, key, low=0.0, high=0.8, kernel_radius=2):
+        radius = jax.random.uniform(key, (), minval=low, maxval=high)
+        sigma = jnp.maximum(radius, 1e-3)
+        offs = jnp.arange(
+            -kernel_radius, kernel_radius + 1, dtype=jnp.float32
+        )
+        k = jnp.exp(-(offs**2) / (2 * sigma**2))
+        k = jnp.where(radius < 1e-2, (offs == 0).astype(jnp.float32), k)
+        k = k / k.sum()
+        r = kernel_radius
+        c = image.shape[-1]
+        img = jnp.pad(image, ((r, r), (r, r), (0, 0)), mode="edge")[None]
+        kv = jnp.tile(k[:, None, None, None], (1, 1, 1, c))
+        kh = jnp.tile(k[None, :, None, None], (1, 1, 1, c))
+        img = jax.lax.conv_general_dilated(
+            img, kv, (1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+        img = jax.lax.conv_general_dilated(
+            img, kh, (1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+        return img[0]
+
+    rng = np.random.default_rng(5)
+    for shape in [(64, 64, 3), (37, 53, 3)]:
+        img = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+        for seed in (1, 7, 42):
+            key = jax.random.key(seed)
+            got = device_aug._gaussian_blur(img, key)
+            want = conv_oracle(img, key)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-3
+            )
+
+
 def test_augment_batch_pallas_uint8_equals_float(monkeypatch):
     """The pallas warp's uint8 fast path (in-kernel fixed-point conversion,
     no float-cast HBM pass) is bit-identical to feeding the float cast."""
