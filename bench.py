@@ -228,13 +228,16 @@ def bench_pretrain_step(batch: int = 32, iters: int = 20) -> None:
 
 
 def bench_train_e2e(batch: int = 32, iters: int = 20,
-                    fused: bool = True) -> None:
+                    fused: bool = True, steps_per_call: int = 1) -> None:
     """Whole-system DA training iteration on one chip with the
     device-resident store: on-device sample gather + fused augmentation +
     Gaussian targets + the 3-phase DA step — the ``--device-store
     --decoded-cache`` CLI path's steady state, nothing hidden. ``fused``
     runs the production single-dispatch program (``train/fused.py``);
-    ``fused=False`` measures the three-dispatch path for comparison."""
+    ``fused=False`` measures the three-dispatch path for comparison;
+    ``steps_per_call > 1`` (``e2e 32 scan``) scans that many DA iterations
+    inside each dispatch — isolates per-dispatch overhead from in-program
+    compute."""
     import shutil
     import tempfile
 
@@ -271,7 +274,7 @@ def bench_train_e2e(batch: int = 32, iters: int = 20,
         if fused:
             fused_it = make_fused_da_iteration(
                 model, store.mesh, store, store, batch,
-                compute_metrics=False,
+                compute_metrics=False, steps_per_call=steps_per_call,
             )
             keys = [seed_key(store.mesh, jax.random.key(i)) for i in (0, 1)]
 
@@ -299,7 +302,8 @@ def bench_train_e2e(batch: int = 32, iters: int = 20,
             return time.perf_counter() - t0
 
         timed(2)
-        dt = min(timed(iters) for _ in range(2)) / iters
+        per_call = min(timed(iters) for _ in range(2)) / iters
+        dt = per_call / (steps_per_call if fused else 1)
         img_s = 2 * batch / dt
         print(
             f"DA e2e iteration (device store): {dt*1e3:.1f} ms/iter, "
@@ -620,6 +624,7 @@ def main() -> None:
         bench_train_e2e(
             parse_flagged_args(rest, 32),
             fused="unfused" not in rest,
+            steps_per_call=20 if "scan" in rest else 1,
         )
         return
 
