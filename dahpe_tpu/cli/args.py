@@ -71,7 +71,14 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                              "resumes), saving the 'latest' checkpoint and "
                              "exiting cleanly; 0 = no limit. Budget-bound "
                              "runs and preemption drills")
-    parser.add_argument("--ema-decay", default=0.999, type=float)
+    parser.add_argument("--ema-decay", default=0.99, type=float,
+                        help="EMA-twin decay. The reference fixes 0.999 "
+                             "(train1.py:667) untuned; the r5 sweep "
+                             "(docs/ACCURACY.md) measured 0.99 as the only "
+                             "decay whose EMA beats the live model's "
+                             "end-of-run PCK on both studied shifts — "
+                             "0.999's ~1000-iter horizon averages straight "
+                             "over pseudo-label drift")
     parser.add_argument("--conf-gate", default=0.0, type=float, metavar="Q",
                         help="drop the per-joint fraction Q of least-"
                              "confident target pseudo-labels in the "

@@ -287,7 +287,10 @@ if __name__ == "__main__":
     p.add_argument("--da-lr", type=float, default=0.01)
     p.add_argument("--ema-decay", type=float, default=0.999,
                    help="EMA twin decay (reference default 0.999, "
-                        "train1.py:667; sweep study in docs/ACCURACY.md)")
+                        "train1.py:667 — kept here so studies stay "
+                        "comparable across rounds; the production CLI "
+                        "default is 0.99 after the r5 sweep, "
+                        "docs/ACCURACY.md)")
     p.add_argument("--conf-gate", type=float, default=None,
                    help="drop this per-joint fraction of least-confident "
                         "target pseudo-labels in steps B/C (drift "
