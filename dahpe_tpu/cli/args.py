@@ -105,6 +105,19 @@ def build_parser(phase: str = "train") -> argparse.ArgumentParser:
                              "dataset to fit in HBM as uint8 crops; combine "
                              "with --decoded-cache to make the one-time "
                              "upload decode-free")
+    parser.add_argument("--steps-per-call", default=1, type=int, metavar="K",
+                        help="scan K consecutive train iterations inside "
+                             "each fused dispatch (train/fused.py): the "
+                             "per-dispatch host/link overhead is amortized "
+                             "K-fold (measured 78.3 -> 74.3 ms/iter at K=20 "
+                             "through this environment's tunneled link, "
+                             "docs/PERF.md). Requires --device-store (and "
+                             "not --debug); iters-per-epoch, print-freq and "
+                             "any save-every/max-steps must be multiples of "
+                             "K so checkpoint/report boundaries stay exact. "
+                             "The batch sequence is bit-identical to K=1; "
+                             "step numerics match to float-reassociation "
+                             "noise, and metrics report as chunk means")
     parser.add_argument("--device-aug", action="store_true",
                         help="host threads only decode+crop; all augmentation "
                              "(fused affine warp, jitter, blur, normalize) "

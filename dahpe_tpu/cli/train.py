@@ -94,6 +94,41 @@ def da_losses_host(metrics) -> dict:
 
 
 
+def validate_steps_per_call(args) -> int:
+    """Resolve ``--steps-per-call`` to a usable chunk size K.
+
+    K > 1 scans K train iterations inside each fused dispatch
+    (train/fused.py), so every host-side boundary — progress reports, the
+    stop-consensus poll, ``--save-every`` checkpoints, ``--max-steps`` —
+    can only land on multiples of K. Rather than silently shifting those
+    semantics, any cadence that is not a multiple of K is rejected here
+    with an actionable message (the multihost stop consensus additionally
+    REQUIRES every host to poll at the same call count — lockstep holds
+    because all hosts share one K)."""
+    k = int(getattr(args, "steps_per_call", 1) or 1)
+    if k <= 1:
+        return 1
+    if not args.device_store or args.debug:
+        raise SystemExit(
+            "--steps-per-call > 1 requires --device-store without --debug: "
+            "only the fused single-dispatch iteration can scan steps on "
+            "device (host-fed paths need a host round trip per step)"
+        )
+    bad = [f"{name}={value}" for name, value in (
+        ("--iters-per-epoch", args.iters_per_epoch),
+        ("--print-freq", args.print_freq),
+        ("--save-every", args.save_every),
+        ("--max-steps", args.max_steps),
+    ) if value and value % k]
+    if bad:
+        raise SystemExit(
+            f"--steps-per-call {k}: {', '.join(bad)} must be multiples of "
+            "K — chunk boundaries are the only report/checkpoint/stop "
+            "points of a scanned run"
+        )
+    return k
+
+
 def pretrain_phase(args, logger, train_source_loader, val_source_loader,
                    val_source_dataset, *, source_store=None, mesh=None,
                    saver=None, stop=lambda: None):
@@ -135,6 +170,7 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
             model, mesh, source_store, args.batch_size,
             image_size=args.image_size, heatmap_size=args.heatmap_size,
             rotation=args.rotation, scale_range=tuple(args.resize_scale),
+            steps_per_call=validate_steps_per_call(args),
         )
         state = replicate(state, mesh)
         key_buf = seed_key(mesh, jax.random.key(args.seed + 7))
@@ -161,6 +197,7 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
     # the reference starts at 0 (train1.py:165) and would never write the
     # checkpoint if val acc stayed <= 0; -inf guarantees a checkpoint exists
     best_acc = float("-inf")
+    chunk = validate_steps_per_call(args) if source_store is not None else 1
 
     for epoch in range(args.pretrain_epochs):
         lr = args.lr * pretrain_lr_factor(
@@ -178,7 +215,7 @@ def pretrain_phase(args, logger, train_source_loader, val_source_loader,
             prefix=f"Epoch: [{epoch}]",
         )
         end = time.time()
-        for i in range(args.iters_per_epoch):
+        for i in range(0, args.iters_per_epoch, chunk):
             state, metrics = run_iteration(state, lr_dev)
             if i % args.print_freq == 0:
                 loss_now = float(metrics["loss_s"])
@@ -521,6 +558,13 @@ def _run_phases(args, logger, saver, stop_signum):
         return
 
     # --- DA training over the device mesh --------------------------------
+    chunk = validate_steps_per_call(args)
+    if start_iter % chunk:
+        raise SystemExit(
+            f"--resume checkpoint stops at mid-epoch iteration {start_iter}, "
+            f"which is not a --steps-per-call {chunk} chunk boundary — "
+            "resume with the K it was saved under (or K=1)"
+        )
     step_config = dict(
         base_lr=args.lr, lr_gamma=args.lr_gamma, lr_decay=args.lr_decay,
         trade_off=args.trade_off, momentum=args.momentum, weight_decay=args.wd,
@@ -562,7 +606,7 @@ def _run_phases(args, logger, saver, stop_signum):
             model, mesh, stores["source"], stores["target"], args.batch_size,
             image_size=args.image_size, heatmap_size=args.heatmap_size,
             rotation=args.rotation, scale_range=tuple(args.resize_scale),
-            **step_config,
+            steps_per_call=chunk, **step_config,
         )
         if "key_s" in resume_aux:
             key_bufs = [
@@ -707,9 +751,9 @@ def _run_phases(args, logger, saver, stop_signum):
         )
         end = time.time()
         first_iter = start_iter if epoch == start_epoch else 0
-        for i in range(first_iter, args.iters_per_epoch):
+        for i in range(first_iter, args.iters_per_epoch, chunk):
             state, metrics, b_s, b_t = run_iteration(state)
-            global_step += 1
+            global_step += chunk
             if i % args.print_freq == 0:
                 check_finite(saver, logger, state, global_step,
                              loss_s=float(metrics["loss_s"]),

@@ -320,3 +320,44 @@ def test_nan_watchdog_preserves_last_good_checkpoint(tmp_path):
                                 {"params": jnp.zeros((3,)),
                                  "step": jnp.zeros((), jnp.int32)})
     assert int(dumped["step"]) == 9 and math.isnan(float(dumped["params"][0]))
+
+
+@pytest.mark.slow
+def test_train_cli_steps_per_call_chunked(tmp_path):
+    """--steps-per-call 2 end to end on the fused device-store path: the DA
+    epoch runs as -i/K scanned dispatches but the step accounting, epoch
+    checkpoints and validation cadence are identical to K=1 (the chunk size
+    is an execution detail, not a schedule change). Guards the CLI wiring of
+    train/fused.py's scan mode (equivalence of the scanned numerics is
+    pinned at the train level in test_fused.py)."""
+    import json
+
+    rhd_root = make_rhd_fixture(str(tmp_path / "rhd"), n=6,
+                                sets=("training", "evaluation"))
+    h3d_root = make_h3d_fixture(str(tmp_path / "h3d"), n=20)
+    log_dir = str(tmp_path / "logs")
+
+    from dahpe_tpu.cli import train as train_cli
+
+    train_cli.main(_args([
+        h3d_root, "--source_root", rhd_root, "-t", "Hand3DStudio",
+        "-a", "resnet18", "-b", "2", "--pretrain-epochs", "1",
+        "--epochs", "1", "-i", "4", "--workers", "2", "--log", log_dir,
+        "--print-freq", "2", "--image-size", "64", "--heatmap-size", "16",
+        "--device-store", "--decoded-cache", str(tmp_path / "cache"),
+        "--steps-per-call", "2",
+    ]))
+    ckpt_dir = os.path.join(log_dir, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "pretrain"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+    # the chunked epoch must account for exactly -i optimizer steps
+    rows = [json.loads(line)
+            for line in open(os.path.join(log_dir, "metrics.jsonl"))]
+    da_rows = [r for r in rows if r.get("kind") == "da_epoch"]
+    assert len(da_rows) == 1 and da_rows[0]["step"] == 4, da_rows
+    text = "".join(
+        open(os.path.join(log_dir, f)).read()
+        for f in os.listdir(log_dir) if f.endswith(".txt")
+    )
+    assert "Target: -1.000" not in text
+    assert "Source: -1.000" not in text
